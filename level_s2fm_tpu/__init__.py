@@ -1,0 +1,15 @@
+"""level_s2fm_tpu — a TPU-native neural incremental Structure-from-Motion framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of Level-S2fM
+(CVPR 2023, reference layout surveyed in SURVEY.md): incremental SfM on a
+neural level set — a hash-grid SDF field plus a radiance field drive
+two-view initialization, SDF-based triangulation (sphere tracing),
+PnP registration, neural bundle adjustment and rendering refinement.
+
+Design stance (see SURVEY.md §7): functional field state (pytrees + optax),
+SoA scene state with padded/masked batches so every optimization phase is a
+single jitted step function, Pallas kernels for the hash-encode hot path,
+and `jax.sharding` meshes for multi-chip ray/track parallelism.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,147 @@
+"""Multiresolution hash-grid encoding (instant-NGP style) in JAX.
+
+TPU-native replacement for the reference's tiny-cuda-nn `tcnn.Encoding`
+(`models/base.py:12-40`, SURVEY.md §2.3). Implemented with jnp gathers and
+trilinear interpolation so JAX autodiff provides:
+  * grads w.r.t. the feature tables (scatter-add, automatic),
+  * grads w.r.t. the input positions (needed for SDF normals), and
+  * second-order grads (eikonal-through-BA double backward) for free.
+A Pallas kernel version of the same math lives in
+`level_s2fm_tpu/rendering/pallas_kernels.py` for the hot path.
+
+Hash-grid hyperparameters follow the reference config
+(`options/config_hash_sdf.json`: L=16, F=2, T=2^19, N_min=16) with the
+derived per-level scale b = exp(ln(2048*scale/N_min)/(L-1))
+(`models/base.py:128-139`).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# tcnn-compatible hashing primes (public constants of the NGP paper)
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridConfig:
+    n_levels: int = 16
+    n_features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    per_level_scale: float = 1.38
+    include_input: bool = True
+
+    @property
+    def table_size(self) -> int:
+        return 1 << self.log2_hashmap_size
+
+    @property
+    def out_dim(self) -> int:
+        d = self.n_levels * self.n_features_per_level
+        if self.include_input:
+            d += 3
+        return d
+
+    def resolutions(self) -> np.ndarray:
+        ls = np.arange(self.n_levels)
+        return np.floor(self.base_resolution * self.per_level_scale ** ls).astype(np.int32)
+
+
+def config_from_opt(opt, bound_extent: Optional[float] = None) -> HashGridConfig:
+    """Derive the per-level scale the way the reference does
+    (`models/base.py:128-139`)."""
+    hc = opt.SDF.Hash_config
+    L = hc.get("n_levels", 16)
+    F = hc.get("n_features_per_level", 2)
+    log2_T = hc.get("log2_hashmap_size", 19)
+    N_min = hc.get("base_resolution", 16)
+    if bound_extent is None:
+        bound_extent = float(opt.data.bound_max[0] - opt.data.bound_min[0])
+    scale = bound_extent / 2
+    b = float(np.exp(np.log(2048 * scale / N_min) / (L - 1)))
+    return HashGridConfig(n_levels=L, n_features_per_level=F,
+                          log2_hashmap_size=log2_T, base_resolution=N_min,
+                          per_level_scale=b)
+
+
+def init_table(key, cfg: HashGridConfig, dtype=jnp.float32) -> jnp.ndarray:
+    """[L, T, F] feature table; uniform(-1e-4, 1e-4) like tcnn's default."""
+    shape = (cfg.n_levels, cfg.table_size, cfg.n_features_per_level)
+    return jax.random.uniform(key, shape, dtype, minval=-1e-4, maxval=1e-4)
+
+
+def _level_indices(grid_int: jnp.ndarray, res: jnp.ndarray,
+                   dense_fits: jnp.ndarray, table_size: int) -> jnp.ndarray:
+    """Map integer corner coords [..., 3] (per level) to table indices.
+
+    Uses dense row-major indexing when the level's grid fits in the table
+    (``dense_fits`` is a static per-level bool from numpy), spatial hashing
+    otherwise (tcnn semantics).
+    """
+    res1 = res + 1  # corners per side
+    x, y, z = grid_int[..., 0], grid_int[..., 1], grid_int[..., 2]
+    dense_idx = (x + res1 * (y + res1 * z)).astype(jnp.uint32)
+    hashed = (x.astype(jnp.uint32) * np.uint32(_PRIMES[0])
+              ^ y.astype(jnp.uint32) * np.uint32(_PRIMES[1])
+              ^ z.astype(jnp.uint32) * np.uint32(_PRIMES[2]))
+    hashed = hashed % np.uint32(table_size)
+    return jnp.where(dense_fits, dense_idx % np.uint32(table_size), hashed).astype(jnp.int32)
+
+
+def encode(table: jnp.ndarray, x_unit: jnp.ndarray, cfg: HashGridConfig) -> jnp.ndarray:
+    """Hash-encode positions.
+
+    table: [L, T, F]; x_unit: [..., 3] in [0,1]^3.
+    Returns [..., L*F] trilinear-interpolated features.
+    """
+    orig_shape = x_unit.shape[:-1]
+    x = x_unit.reshape(-1, 3)  # [N,3]
+    N = x.shape[0]
+    res = jnp.asarray(cfg.resolutions())  # [L]
+
+    # [L, N, 3] scaled positions per level
+    pos = x[None, :, :] * res[:, None, None].astype(x.dtype)
+    pos_floor = jnp.floor(pos)
+    frac = pos - pos_floor  # [L,N,3]
+    base = pos_floor.astype(jnp.int32)  # [L,N,3]
+
+    # 8 corner offsets
+    offsets = jnp.asarray(
+        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], dtype=jnp.int32)  # [8,3]
+    corners = base[:, :, None, :] + offsets[None, None, :, :]  # [L,N,8,3]
+    corners = jnp.clip(corners, 0, (res[:, None, None, None]))
+
+    res_np = cfg.resolutions().astype(np.int64)
+    dense_fits = jnp.asarray((res_np + 1) ** 3 <= cfg.table_size)[:, None, None]
+    idx = _level_indices(corners, res[:, None, None], dense_fits, cfg.table_size)  # [L,N,8]
+
+    # gather features: per level
+    level_ids = jnp.arange(cfg.n_levels, dtype=jnp.int32)[:, None, None]
+    level_ids = jnp.broadcast_to(level_ids, idx.shape)
+    feats = table[level_ids, idx]  # [L,N,8,F]
+
+    # trilinear weights: w = prod over dims of (1-frac or frac)
+    w = jnp.where(offsets[None, None, :, :] == 1, frac[:, :, None, :], 1.0 - frac[:, :, None, :])
+    w = w[..., 0] * w[..., 1] * w[..., 2]  # [L,N,8]
+
+    out = jnp.sum(feats * w[..., None], axis=2)  # [L,N,F]
+    out = jnp.moveaxis(out, 0, 1).reshape(N, cfg.n_levels * cfg.n_features_per_level)
+    return out.reshape(*orig_shape, -1)
+
+
+def embed(table: jnp.ndarray, xyz: jnp.ndarray, cfg: HashGridConfig,
+          bound_min, bound_max, rescale: float = 1.0) -> jnp.ndarray:
+    """Full embedder: normalize into the AABB, hash-encode, optionally
+    prepend raw xyz/rescale (ref `models/base.py:23-40`)."""
+    bound_min = jnp.asarray(bound_min, xyz.dtype)
+    bound_max = jnp.asarray(bound_max, xyz.dtype)
+    x_unit = (xyz - bound_min) / (bound_max - bound_min)
+    enc = encode(table, x_unit, cfg)
+    if cfg.include_input:
+        enc = jnp.concatenate([xyz / rescale, enc], axis=-1)
+    return enc

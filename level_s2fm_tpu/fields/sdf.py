@@ -1,0 +1,284 @@
+"""Hash-encoded SDF field + differentiable sphere tracing (functional JAX).
+
+TPU-native re-design of the reference SDF module (`models/SDF.py`):
+
+* ``infer_sdf`` — hash-encode -> geometry MLP -> signed distance, with the
+  inside/outside sign convention and optional background-sphere min
+  (`models/SDF.py:55-78`).
+* ``gradient`` — spatial gradient via jax.grad; second-order safe (the
+  reference needs double-backward through tcnn, `models/SDF.py:102-114`;
+  here JAX provides it natively through the jnp hash encode).
+* ``sphere_tracing`` — the reference's bidirectional fixed-step march
+  (`models/SDF.py:116-226`) reshaped for XLA: a fixed-trip-count
+  `lax.fori_loop` with per-ray active masks (no data-dependent break), the
+  march itself under stop_gradient, then a differentiable re-evaluation of
+  the SDF along the stored track: depth = t_min + sum(sdf(track)) exactly
+  as `models/SDF.py:206-210`. Deviation: the reference exits early when all
+  rays converge (shortening the track); we always run ``iters_max`` steps
+  but mask non-executed steps, which matches the reference whenever its
+  loop runs to the cap (the common case on real scenes).
+
+Field parameters are a pytree: {"table": [L,T,F], "mlp": {...}, "beta": [1]}.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import hashgrid, mlp
+from ..rendering import aabb as aabb_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class SDFConfig:
+    grid: hashgrid.HashGridConfig
+    layers: Tuple[Optional[int], ...] = (None, 64, 16)
+    skip: Tuple[int, ...] = ()
+    bound_min: Tuple[float, float, float] = (-1.0, -1.0, -1.0)
+    bound_max: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    inside: bool = True
+    bg_sdf: bool = False
+    bg_rad: float = 2.0
+    scale_mlp: float = 1.0
+    sphere_bias: float = 1.0
+    tf_init: bool = True
+    rescale: float = 1.0
+    beta_init: float = 0.05
+    beta_speed: float = 1.0
+    sdf_threshold: float = 1e-3
+    iters_max: int = 20
+    res: int = 100  # `opt.Res` — sphere-trace convergence resolution
+
+    @property
+    def feat_dim(self) -> int:
+        return self.layers[-1] + 1
+
+    @property
+    def center(self):
+        return (np.asarray(self.bound_max) + np.asarray(self.bound_min)) / 2
+
+    @property
+    def half_size(self):
+        return (np.asarray(self.bound_max) - np.asarray(self.bound_min)) / 2
+
+    @property
+    def finish_threshold(self) -> float:
+        # (bound_max[0]-bound_min[0])/10/Res (ref `models/SDF.py:213-214`)
+        return (self.bound_max[0] - self.bound_min[0]) / 10.0 / self.res
+
+
+def config_from_opt(opt) -> SDFConfig:
+    grid = hashgrid.config_from_opt(opt)
+    return SDFConfig(
+        grid=grid,
+        layers=tuple(opt.SDF.arch.layers),
+        skip=tuple(opt.SDF.arch.get("skip", ())),
+        bound_min=tuple(opt.data.bound_min),
+        bound_max=tuple(opt.data.bound_max),
+        inside=bool(opt.data.get("inside", True)),
+        bg_sdf=bool(opt.data.get("bg_sdf") or False),
+        bg_rad=float(opt.data.get("bg_rad", 2.0)),
+        scale_mlp=float(opt.SDF.NN_Init.scale_mlp),
+        sphere_bias=float(opt.SDF.NN_Init.bias),
+        tf_init=bool(opt.SDF.NN_Init.get("tf_init", True)),
+        rescale=float(opt.SDF.VolSDF.rescale),
+        beta_init=float(opt.SDF.VolSDF.beta_init),
+        beta_speed=float(opt.SDF.VolSDF.beta_speed),
+        sdf_threshold=float(opt.SDF.VolSDF.sdf_threshold),
+        iters_max=int(opt.SDF.VolSDF.iters_max_st),
+        res=int(opt.get("Res", 100)),
+    )
+
+
+def init_params(key, cfg: SDFConfig):
+    k1, k2 = jax.random.split(key)
+    table = hashgrid.init_table(k1, cfg.grid)
+    input_dim = cfg.grid.out_dim
+    mlp_params = mlp.init_geometry_mlp(k2, input_dim, cfg.layers, cfg.skip,
+                                       sphere_bias=cfg.sphere_bias, tf_init=cfg.tf_init)
+    beta = jnp.asarray([np.log(cfg.beta_init) / cfg.beta_speed], jnp.float32)
+    return {"table": table, "mlp": mlp_params, "beta": beta}
+
+
+# ----------------------------------------------------------------------------- core eval
+
+def infer_feat(params, cfg: SDFConfig, xyz: jnp.ndarray) -> jnp.ndarray:
+    enc = hashgrid.embed(params["table"], xyz, cfg.grid,
+                         cfg.bound_min, cfg.bound_max, rescale=cfg.rescale)
+    return mlp.apply_geometry_mlp(params["mlp"], enc, skip=cfg.skip)
+
+
+def infer_sdf(params, cfg: SDFConfig, xyz: jnp.ndarray) -> jnp.ndarray:
+    """[...,3] -> [...,1] signed distance."""
+    feat = infer_feat(params, cfg, xyz)
+    if cfg.inside:
+        sdf = feat[..., :1] / cfg.scale_mlp
+        if cfg.bg_sdf:
+            sdf = jnp.minimum(sdf, cfg.bg_rad - jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+    else:
+        sdf = -feat[..., :1] / cfg.scale_mlp
+    return sdf
+
+
+def infer_all(params, cfg: SDFConfig, xyz: jnp.ndarray):
+    """Return (sdf [...,1], feat [...,feat_dim]) in one eval."""
+    feat = infer_feat(params, cfg, xyz)
+    if cfg.inside:
+        sdf = feat[..., :1] / cfg.scale_mlp
+        if cfg.bg_sdf:
+            sdf = jnp.minimum(sdf, cfg.bg_rad - jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+    else:
+        sdf = -feat[..., :1] / cfg.scale_mlp
+    return sdf, feat
+
+
+def gradient(params, cfg: SDFConfig, xyz: jnp.ndarray) -> jnp.ndarray:
+    """Spatial SDF gradient (normals); differentiable again for eikonal-in-BA."""
+    def sdf_sum(p):
+        return infer_sdf(params, cfg, p).sum()
+    return jax.grad(sdf_sum)(xyz)
+
+
+def forward_ab(params, cfg: SDFConfig):
+    beta = jnp.exp(params["beta"] * cfg.beta_speed)
+    return 1.0 / beta, beta
+
+
+def sdf_to_sigma(sdf, alpha, beta):
+    """Laplace-CDF density (VolSDF; ref `models/SDF.py:84-87`)."""
+    e = 0.5 * jnp.exp(-jnp.abs(sdf) / beta)
+    psi = jnp.where(sdf >= 0, e, 1 - e)
+    return alpha * psi
+
+
+def get_surface_pts(params, cfg: SDFConfig, pts: jnp.ndarray):
+    """Project points to the zero level set along the (unnormalized) normal.
+
+    surf = pts - n * sdf / stop_grad(|n|) (ref `models/SDF.py:95-100`).
+    Returns (surf_pts, |n|).
+    """
+    sdf = infer_sdf(params, cfg, jax.lax.stop_gradient(pts))
+    normals = gradient(params, cfg, pts)
+    nval = jnp.linalg.norm(normals, axis=-1, keepdims=True)
+    surf = pts - normals / jax.lax.stop_gradient(nval) * sdf
+    return surf, nval
+
+
+# ----------------------------------------------------------------------------- sphere tracing
+
+class SphereTraceResult(NamedTuple):
+    d_pred: jnp.ndarray        # [B,N] predicted depth (differentiable)
+    sdf_surf: jnp.ndarray      # [B*N] sdf at the last traced point (differentiable)
+    sample_pts: jnp.ndarray    # [1,K,3] track subsample + free-space samples (detached)
+    finish_mask: jnp.ndarray   # [B*N,1] bool convergence mask
+    pts_surface: jnp.ndarray   # [B,N,3] surface points center + d*ray (differentiable)
+
+
+def sphere_tracing(params, cfg: SDFConfig, ray0: jnp.ndarray, ray_dir: jnp.ndarray,
+                   key: Optional[jax.Array] = None,
+                   track_subsample: int = 4096) -> SphereTraceResult:
+    """Bidirectional sphere tracing of the SDF along rays.
+
+    ray0/ray_dir: [B,N,3] (ray_dir need not be unit; steps are in sdf units
+    times the direction, matching the reference which also uses
+    unnormalized, intrinsics-scaled rays).
+    """
+    B, N = ray0.shape[0], ray0.shape[1]
+    BN = B * N
+    o = ray0.reshape(BN, 3)
+    d = ray_dir.reshape(BN, 3)
+
+    t_near, t_far, valid = aabb_mod.ray_aabb_intersect(
+        o, d, jnp.asarray(cfg.center, jnp.float32), jnp.asarray(cfg.half_size, jnp.float32))
+    min_dis = t_near
+    max_dis = t_far
+    thr = cfg.sdf_threshold
+
+    def sdf_at(pts):
+        return infer_sdf(params, cfg, pts)[..., 0]
+
+    # -------- non-differentiable march (reference runs it under no_grad) ----
+    p_detach = jax.lax.stop_gradient
+    o_d, d_d = p_detach(o), p_detach(d)
+
+    start0 = o_d + min_dis[:, None] * d_d
+    end0 = o_d + max_dis[:, None] * d_d
+    nsdf_s0 = p_detach(sdf_at(start0))
+    nsdf_e0 = p_detach(sdf_at(end0))
+
+    track0 = jnp.zeros((cfg.iters_max, BN, 3), o.dtype)
+    executed0 = jnp.zeros((cfg.iters_max,), bool)
+
+    def body(i, state):
+        (acc_s, acc_e, nsdf_s, nsdf_e, unf_s, unf_e, first, track, executed) = state
+        curr_s = jnp.where(jnp.abs(nsdf_s) <= thr, 0.0, nsdf_s)
+        curr_e = jnp.where(jnp.abs(nsdf_e) <= thr, 0.0, nsdf_e)
+        new_unf_s = jnp.where(first, jnp.abs(curr_s) > thr, unf_s & (jnp.abs(curr_s) > thr))
+        new_unf_e = jnp.where(first, jnp.abs(curr_e) > thr, unf_e & (jnp.abs(curr_e) > thr))
+        step_active = jnp.any(new_unf_s)
+
+        # positions BEFORE the step are what the reference appends to the track
+        pts_before = o_d + acc_s[:, None] * d_d
+        track = jnp.where(step_active,
+                          track.at[i].set(pts_before), track)
+        executed = executed.at[i].set(step_active)
+
+        acc_s2 = jnp.minimum(acc_s + curr_s, max_dis)
+        acc_e2 = jnp.minimum(acc_e + curr_e, max_dis)
+        pts_s = o_d + acc_s2[:, None] * d_d
+        pts_e = o_d + acc_e2[:, None] * d_d
+        nsdf_s2 = jnp.where(new_unf_s, p_detach(sdf_at(pts_s)), nsdf_s)
+        nsdf_e2 = jnp.where(new_unf_e, p_detach(sdf_at(pts_e)), nsdf_e)
+        order_ok = acc_s2 < acc_e2
+        new_unf_s2 = new_unf_s & order_ok
+        new_unf_e2 = new_unf_e & order_ok
+
+        # where the step did not run (all converged), keep the old state
+        keep = lambda new, old: jnp.where(step_active, new, old)
+        return (keep(acc_s2, acc_s), keep(acc_e2, acc_e),
+                keep(nsdf_s2, nsdf_s), keep(nsdf_e2, nsdf_e),
+                keep(new_unf_s2, new_unf_s), keep(new_unf_e2, new_unf_e),
+                jnp.asarray(False), track, executed)
+
+    init_state = (min_dis, max_dis, nsdf_s0, nsdf_e0,
+                  jnp.ones((BN,), bool), jnp.ones((BN,), bool),
+                  jnp.asarray(True), track0, executed0)
+    (acc_s, acc_e, _, _, _, _, _, track, executed) = jax.lax.fori_loop(
+        0, cfg.iters_max, body, init_state)
+
+    # if no step executed at all, the track is just the entry points
+    track = track.at[0].set(jnp.where(executed[0], track[0], start0))
+    contrib = executed.at[0].set(True)  # entry point always contributes
+    last_idx = jnp.maximum(jnp.max(jnp.where(contrib, jnp.arange(cfg.iters_max), 0)), 0)
+
+    # -------- differentiable re-evaluation along the track ------------------
+    sdf_tracks = infer_sdf(params, cfg, track)[..., 0]          # [iters, BN]
+    sdf_sum = jnp.sum(sdf_tracks * contrib[:, None], axis=0)     # [BN]
+    d_pred = sdf_sum + min_dis
+    d_pred = jnp.minimum(d_pred, max_dis)
+    sdf_last = sdf_tracks[last_idx]                              # [BN]
+    finish_mask = (jnp.abs(p_detach(sdf_last)) < cfg.finish_threshold)[:, None]
+    finish_mask = finish_mask & valid[:, None]
+
+    pts_surface = (ray0 + ray_dir * d_pred.reshape(B, N)[..., None])
+
+    # -------- free-space + track samples for eikonal regularization --------
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    factor_rand = jax.random.uniform(k1, (BN,))
+    d_up = jnp.minimum(1.5 * acc_e, max_dis)
+    d_sample = (1 - factor_rand) * d_up + factor_rand * min_dis
+    free_pts = o_d + d_sample[:, None] * d_d                     # [BN,3]
+    n_pick = min(track_subsample, BN)
+    pick = jax.random.permutation(k2, BN)[:n_pick]
+    track_pick = jnp.swapaxes(track, 0, 1)[pick].reshape(-1, 3)  # [n_pick*iters,3]
+    sample_pts = jnp.concatenate([track_pick, free_pts], axis=0)[None]
+
+    return SphereTraceResult(d_pred=d_pred.reshape(B, N), sdf_surf=sdf_last,
+                             sample_pts=p_detach(sample_pts),
+                             finish_mask=finish_mask, pts_surface=pts_surface)
