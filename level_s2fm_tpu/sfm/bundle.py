@@ -1,0 +1,185 @@
+"""Neural bundle adjustment + rendering refine: host wrappers.
+
+Orchestrates the jitted BAPhase/RefinePhase over scene state
+(ref `pipelines/BA.py`, `pipelines/rendering_refine.py`). Local BA picks
+the new camera + covisible views, global BA all views
+(ref `BA.py:90-103`); poses and surface-projected points are written back
+after the loop (ref `BA.py:182-186`).
+
+Note: the reference's `Point3DSet.update_xyzs` is a no-op (lazy `map`
+never executed, `Point3D.py:83-84` — flagged in SURVEY.md §2.1), so
+upstream BA point updates are silently lost. We FIX this (points are
+written back) as the evidently intended behavior; set
+``opt.Ablate_config.replicate_update_xyzs_bug`` to reproduce the
+reference bit-for-bit.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import transforms as T
+from . import entities
+from .phases import BAPhase, PhaseCfgs, RefinePhase
+
+
+def build_tracing_data(cfgs: PhaseCfgs, cameraset: entities.CameraSet,
+                       pointset: entities.PointSet, cam_ids: Sequence[int]):
+    """Per-camera padded tracked-keypoint rays + target points for the
+    multi-view tracing-consistency loss (ref `Camera.py:476-488`)."""
+    C = len(cam_ids)
+    per_cam = []
+    for cid in cam_ids:
+        cam = cameraset(cid)
+        kidx = np.where(cam.idx2d_to_3d != -1)[0]
+        per_cam.append((cam, kidx))
+    Nt = entities.pad_to_bucket(max([len(k) for _, k in per_cam] + [1]))
+    center = np.zeros((C, Nt, 3), np.float32)
+    ray = np.zeros((C, Nt, 3), np.float32)
+    ray[..., 2] = 1.0
+    xyz = np.zeros((C, Nt, 3), np.float32)
+    mask = np.zeros((C, Nt), bool)
+    for i, (cam, kidx) in enumerate(per_cam):
+        n = len(kidx)
+        if n == 0:
+            continue
+        c, r = T.get_center_and_ray(jnp.asarray(cam.pose())[None],
+                                    jnp.asarray(cam.intr),
+                                    jnp.asarray(cam.kypts[kidx], jnp.float32))
+        center[i, :n] = np.asarray(c[0])
+        ray[i, :n] = np.asarray(r[0])
+        xyz[i, :n] = pointset.get_xyzs(cam.idx2d_to_3d[kidx])
+        mask[i, :n] = True
+    return {"center": jnp.asarray(center), "ray": jnp.asarray(ray),
+            "xyz": jnp.asarray(xyz), "mask": jnp.asarray(mask)}
+
+
+def stack_images(cameraset: entities.CameraSet, cam_ids: Sequence[int]):
+    return jnp.asarray(np.stack(
+        [cameraset(c).img.reshape(-1, 3) for c in cam_ids], 0))
+
+
+class Bundler:
+    """One BA invocation over picked cameras (ref `BA.py:23-108`)."""
+
+    def __init__(self, opt, cfgs: PhaseCfgs, cameraset: entities.CameraSet,
+                 pointset: entities.PointSet,
+                 cam_pick_ids: Optional[List[int]] = None, mode: str = "sfm_refine"):
+        self.opt = opt
+        self.cfgs = cfgs
+        self.cameraset = cameraset
+        self.pointset = pointset
+        self.local = cam_pick_ids is not None
+        self.cam_pick_ids = list(cam_pick_ids) if cam_pick_ids is not None \
+            else list(cameraset.cam_ids)
+        self.mode = mode
+
+        ob = opt.optim.ba
+        max_iter = int(ob.max_iter)
+        if cam_pick_ids is not None and len(cam_pick_ids) == 1:
+            max_iter = max_iter // 2  # ref `BA.py:47-49`
+        self.max_iter = max_iter
+
+        pts_id, pose_idx, kypts = entities.gather_track_observations(
+            cameraset, self.cam_pick_ids)
+        self.pts_pick_ids = pts_id
+        P = entities.pad_to_bucket(max(len(pts_id), 1))
+        self.P = P
+        xyzs = np.zeros((P, 3), np.float32)
+        xyzs[:len(pts_id)] = pointset.get_xyzs(pts_id)
+        kp = np.zeros((P, 2), np.float32)
+        kp[:len(pts_id)] = kypts
+        pidx = np.zeros(P, np.int32)
+        pidx[:len(pts_id)] = pose_idx
+        valid = np.zeros(P, bool)
+        valid[:len(pts_id)] = True
+
+        cam0 = cameraset(self.cam_pick_ids[0])
+        self.batch = {
+            "pose_idx": jnp.asarray(pidx), "kp": jnp.asarray(kp),
+            "valid": jnp.asarray(valid),
+            "intr": jnp.asarray(cam0.intr),
+            "images": stack_images(cameraset, self.cam_pick_ids),
+            "grid": T.mesh_grid(cfgs.H, cfgs.W),
+            "tracing": build_tracing_data(cfgs, cameraset, pointset,
+                                          self.cam_pick_ids),
+        }
+        self.xyzs0 = jnp.asarray(xyzs)
+
+        weights = {k: v for k, v in opt.loss_weight.ba.items()}
+        self.phase = BAPhase(
+            cfgs, weights, mode=mode, single_cam=(len(self.cam_pick_ids) == 1),
+            lr_sdf=float(ob.lr_sdf), lr_sdf_end=float(ob.lr_sdf_end),
+            lr_color=float(ob.lr_color), lr_pose_r=float(ob.lr_pose_r),
+            lr_pose_t=float(ob.lr_pose_t), max_iter=max_iter)
+
+    def run(self, params, key, verbose=True) -> tuple:
+        """Returns (params, reproj_px)."""
+        se3 = self.cameraset.all_se3(self.cam_pick_ids)
+        ba_params = {"sdf": params["sdf"], "rad": params["rad"],
+                     "se3_r": jnp.asarray(se3[:, :3]),
+                     "se3_t": jnp.asarray(se3[:, 3:])}
+        state = self.phase.init_state(ba_params, self.xyzs0)
+        state, metrics = self.phase.run(state, self.batch, key)
+        p = state["params"]
+        reproj = float(np.asarray(metrics["reproj_px"])[-1])
+        if verbose:
+            name = "local_ba" if self.local else "global_ba"
+            last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()
+                    if np.asarray(v).ndim == 1}
+            print({"phase": name, **{k: round(v, 4) for k, v in last.items()}})
+            print(f"reprojection error{reproj}")
+
+        # write back poses (ref `BA.py:185-186`)
+        se3_new = np.asarray(jnp.concatenate([p["se3_r"], p["se3_t"]], axis=1))
+        for j, cid in enumerate(self.cam_pick_ids):
+            self.cameraset(cid).se3 = se3_new[j]
+        # write back surface-projected points (see module docstring)
+        if not self.opt.Ablate_config.get("replicate_update_xyzs_bug", False):
+            xyzs_new = np.asarray(state["xyzs"])[:len(self.pts_pick_ids)]
+            self.pointset.update_xyzs(self.pts_pick_ids, xyzs_new)
+        new_params = {"sdf": p["sdf"], "rad": p["rad"]}
+        return new_params, reproj
+
+
+class Refiner:
+    """Rendering refine: freeze poses, fit fields
+    (ref `rendering_refine.py:16-121`)."""
+
+    def __init__(self, opt, cfgs: PhaseCfgs, cameraset: entities.CameraSet,
+                 pointset: entities.PointSet,
+                 cam_pick_ids: Optional[List[int]] = None,
+                 max_iter: Optional[int] = None):
+        self.opt = opt
+        self.cfgs = cfgs
+        self.cameraset = cameraset
+        self.cam_pick_ids = list(cam_pick_ids) if cam_pick_ids is not None \
+            else list(cameraset.cam_ids)
+        orf = opt.optim.refine
+        poses, _ = cameraset.all_poses(self.cam_pick_ids)
+        cam0 = cameraset(self.cam_pick_ids[0])
+        self.batch = {
+            "poses": jnp.asarray(poses),
+            "intr": jnp.asarray(cam0.intr),
+            "images": stack_images(cameraset, self.cam_pick_ids),
+            "grid": T.mesh_grid(cfgs.H, cfgs.W),
+            "tracing": build_tracing_data(cfgs, cameraset, pointset,
+                                          self.cam_pick_ids),
+        }
+        weights = {k: v for k, v in opt.loss_weight.refine.items()}
+        self.phase = RefinePhase(cfgs, weights,
+                                 lr_sdf=float(orf.lr_sdf), lr_sdf_end=float(orf.lr_sdf_end),
+                                 lr_color=float(orf.lr_color),
+                                 max_iter=int(max_iter or orf.max_iter))
+
+    def run(self, params, key, verbose=True):
+        state = self.phase.init_state(params)
+        state, metrics = self.phase.run(state, self.batch, key)
+        if verbose:
+            last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()
+                    if np.asarray(v).ndim == 1}
+            print({"phase": "refine", **{k: round(v, 4) for k, v in last.items()}})
+        return state["params"]

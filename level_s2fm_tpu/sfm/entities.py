@@ -1,0 +1,193 @@
+"""Host-side SfM scene state: cameras, 3D points, feature tracks.
+
+Re-design of the reference's Python-object entities
+(`pipelines/Camera.py:33-620`, `pipelines/Point3D.py`) as
+structure-of-arrays numpy state. Device work happens in jitted phase
+steps (`sfm/phases.py`); these classes only hold/bookkeep host state and
+assemble padded, static-shape batches (SURVEY.md §7.1 item 2).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..geometry import lie, transforms as T
+
+import jax.numpy as jnp
+
+
+def pad_to_bucket(n: int, buckets=(64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384,
+                                   32768, 65536, 131072)) -> int:
+    """Round n up to a bucket size to bound jit recompiles."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return int(2 ** np.ceil(np.log2(max(n, 1))))
+
+
+@dataclasses.dataclass
+class Camera:
+    """Per-view host state (ref `pipelines/Camera.py:33-94`)."""
+    id: int
+    img: np.ndarray                  # [H,W,3] float32 in [0,1]
+    intr: np.ndarray                 # [3,3]
+    pose_gt: np.ndarray              # [3,4] w2c
+    kypts: np.ndarray                # [K,2]
+    matches: List[np.ndarray]        # per other image: [M_i,2] kypt-index pairs
+    inlier_masks: List[np.ndarray]   # per other image: [M_i] bool
+    se3: np.ndarray = None           # [6] learnable w2c pose (host copy)
+    idx2d_to_3d: np.ndarray = None   # [K] int, -1 = untracked
+
+    def __post_init__(self):
+        if self.se3 is None:
+            self.se3 = np.zeros(6, np.float32)
+        if self.idx2d_to_3d is None:
+            self.idx2d_to_3d = -np.ones(self.kypts.shape[0], np.int64)
+
+    def pose(self) -> np.ndarray:
+        return np.asarray(lie.se3_to_SE3(jnp.asarray(self.se3[None], jnp.float32)))[0]
+
+    def rel_index(self, other_id: int) -> int:
+        """Index into matches/inlier_masks for the pair (self, other).
+
+        The reference stores per-image match lists excluding the image
+        itself (`pipelines/Camera.py:122-128`).
+        """
+        return other_id if other_id < self.id else other_id - 1
+
+    def matched_kypt_ids(self, other_id: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Inlier keypoint index pairs (self_idx, other_idx) vs other view."""
+        rel = self.rel_index(other_id)
+        m = self.matches[rel].astype(np.int64)
+        mask = self.inlier_masks[rel].astype(bool)
+        return m[mask, 0], m[mask, 1]
+
+
+class CameraSet:
+    """Ordered collection keyed by dataset/colmap id
+    (ref `pipelines/Camera.py:370-417`)."""
+
+    def __init__(self):
+        self.cameras: List[Camera] = []
+        self.cam_ids: List[int] = []
+
+    def __len__(self):
+        return len(self.cameras)
+
+    def add(self, cam: Camera):
+        self.cam_ids.append(cam.id)
+        self.cameras.append(cam)
+
+    def __call__(self, cam_id: int) -> Camera:
+        return self.cameras[self.cam_ids.index(cam_id)]
+
+    def index_of(self, cam_id: int) -> int:
+        return self.cam_ids.index(cam_id)
+
+    def all_se3(self, pick_ids: Optional[Sequence[int]] = None) -> np.ndarray:
+        cams = self.cameras if pick_ids is None else [self(i) for i in pick_ids]
+        return np.stack([c.se3 for c in cams], 0)
+
+    def all_poses(self, pick_ids: Optional[Sequence[int]] = None):
+        cams = self.cameras if pick_ids is None else [self(i) for i in pick_ids]
+        poses = np.stack([c.pose() for c in cams], 0)
+        poses_gt = np.stack([c.pose_gt for c in cams], 0)
+        return poses, poses_gt
+
+    def eval_poses(self, pick_ids: Optional[Sequence[int]] = None, verbose=True):
+        """Procrustes-aligned rot/t errors + ATE; 2-view relative fallback
+        (ref `pipelines/Camera.py:583-620`)."""
+        poses, poses_gt = self.all_poses(pick_ids)
+        poses_j, gt_j = jnp.asarray(poses), jnp.asarray(poses_gt)
+        if poses.shape[0] > 2:
+            try:
+                aligned, _ = T.prealign_cameras(poses_j, gt_j)
+            except Exception:
+                aligned = poses_j
+            R_err, t_err, ate = T.evaluate_camera_alignment(
+                lie.pose_invert(aligned), lie.pose_invert(gt_j))
+            r_deg = float(np.rad2deg(np.asarray(R_err).mean()))
+            t_e = float(np.asarray(t_err).mean())
+            ate = float(ate)
+        else:
+            rel_gt = lie.pose_compose_pair(lie.pose_invert(gt_j[0]), gt_j[1])
+            rel_est = lie.pose_compose_pair(lie.pose_invert(poses_j[0]), poses_j[1])
+            t_e = float(lie.translation_angle_deg(rel_est[:3, 3], rel_gt[:3, 3]))
+            r_deg = float(np.rad2deg(np.asarray(
+                lie.rotation_distance(rel_gt[:3, :3], rel_est[:3, :3]))))
+            ate = float("nan")
+        if verbose:
+            print(f"rot_error:{r_deg}")
+            print(f"t_error:{t_e}")
+        return r_deg, t_e, ate
+
+    def get_parameters(self) -> Dict:
+        """Checkpointable camera state (ref `Camera.py:550-563`)."""
+        return {
+            "pose_para": self.all_se3(),
+            "cam_id": list(self.cam_ids),
+            "idx2d_to_3ds": [c.idx2d_to_3d.copy() for c in self.cameras],
+        }
+
+
+class PointSet:
+    """Append-only 3D point store with feature tracks
+    (ref `pipelines/Point3D.py:46-94`), backed by a growable array."""
+
+    def __init__(self, capacity: int = 4096):
+        self.xyz = np.zeros((capacity, 3), np.float32)
+        self.n = 0
+        self.tracks: List[List[Tuple[int, int]]] = []
+
+    def __len__(self):
+        return self.n
+
+    def _grow(self, need: int):
+        while self.n + need > self.xyz.shape[0]:
+            self.xyz = np.concatenate([self.xyz, np.zeros_like(self.xyz)], 0)
+
+    def add_points(self, xyzs: np.ndarray, tracks: List[List[Tuple[int, int]]]) -> np.ndarray:
+        """Append [M,3] points; returns their indices."""
+        m = xyzs.shape[0]
+        self._grow(m)
+        idx = np.arange(self.n, self.n + m)
+        self.xyz[self.n:self.n + m] = xyzs
+        self.tracks.extend([list(t) for t in tracks])
+        self.n += m
+        return idx
+
+    def get_xyzs(self, idxs) -> np.ndarray:
+        return self.xyz[np.asarray(idxs, np.int64)]
+
+    def all_xyzs(self) -> np.ndarray:
+        return self.xyz[:self.n]
+
+    def update_xyzs(self, idxs, xyzs_new: np.ndarray):
+        self.xyz[np.asarray(idxs, np.int64)] = xyzs_new
+
+    def update_feat_tracks(self, idxs, new_entries: List[Tuple[int, int]]):
+        for i, e in zip(idxs, new_entries):
+            self.tracks[int(i)].append(tuple(e))
+
+    def get_parameters(self) -> Dict:
+        return {"xyzs": self.all_xyzs().copy(),
+                "feat_tracks": [list(t) for t in self.tracks]}
+
+
+def gather_track_observations(cameraset: CameraSet, cam_ids: Sequence[int]):
+    """Covisible (point_idx, pose_idx, kypt2d) triplets for BA
+    (ref `utils/util.py:450-464`)."""
+    pts_id, pose_idx, kypts = [], [], []
+    for local_i, cid in enumerate(cam_ids):
+        cam = cameraset(cid)
+        mask = cam.idx2d_to_3d != -1
+        cnt = int(mask.sum())
+        pts_id.append(cam.idx2d_to_3d[mask])
+        pose_idx.append(np.full(cnt, local_i, np.int64))
+        kypts.append(cam.kypts[mask])
+    if len(pts_id) == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros((0, 2), np.float32))
+    return (np.concatenate(pts_id), np.concatenate(pose_idx),
+            np.concatenate(kypts).astype(np.float32))

@@ -1,0 +1,584 @@
+"""Jitted optimization phases: init / geoinit (triangulation) / BA / refine.
+
+This is the TPU-native reshape of the reference's per-phase torch loops
+(SURVEY.md §7.1 item 4): each phase is ONE jitted step function over a
+static-shape padded batch, with optax optimizers, scanned on device for
+the full iteration count (one XLA dispatch per phase via ``run``).
+
+Loss semantics mirror, per phase:
+  * init   — `pipelines/Initialization.py:138-275` + `Camera.py:448-538`
+  * geoinit— `pipelines/Registration.py:133-317` (SDF-based triangulation)
+  * ba     — `pipelines/BA.py:110-218` (neural bundle adjustment)
+  * refine — `pipelines/rendering_refine.py:73-121`
+
+Deviations (explicit, cf. SURVEY.md §7.3):
+  * fixed-trip-count loops and masked/padded batches instead of dynamic
+    shapes (no behavioral difference when batches are full);
+  * the reference re-picks the "tracing" camera per iteration with python
+    random; here a jax PRNG key drives the same choice on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..fields import radiance as radf
+from ..fields import sdf as sdf_mod
+from ..geometry import lie, transforms as T
+from ..rendering import renderer as ren_mod
+from . import losses as L
+from . import optim as optim_mod
+
+EPS = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class PhaseCfgs:
+    """Static configuration shared by all phases."""
+    sdf: sdf_mod.SDFConfig
+    rad: radf.RadFConfig
+    ren: ren_mod.RendererConfig
+    H: int
+    W: int
+    rand_rays: int = 8192
+    dc_unfinish_weight: Optional[float] = None  # None: dataset in the ref's list
+
+
+def project_points_per(pts, poses, K, eps=EPS):
+    """Project per-element: pts [P,3], poses [P,3,4], K [3,3] -> uv [P,2], z [P]."""
+    Xh = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+    Xc = jnp.einsum("pij,pj->pi", poses, Xh)
+    uvw = Xc @ K.T
+    z = uvw[..., 2]
+    uv = uvw[..., :2] / (z[..., None] + eps)
+    return uv, z
+
+
+# ============================================================================
+# shared render core (ref CameraSet.render, `pipelines/Camera.py:448-538`)
+# ============================================================================
+
+def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
+                tracing=None):
+    """Random-ray multi-view render + the standard loss bundle.
+
+    poses [C,3,4]; intr [3,3]; images [C,HW,3]; grid [HW,2].
+    tracing: optional dict with per-camera padded tracked-keypoint data
+      {"center" [C,Nt,3], "ray" [C,Nt,3], "xyz" [C,Nt,3], "mask" [C,Nt]}
+      for the multi-view sphere-trace consistency loss
+      (`Camera.py:476-488`).
+    Returns dict of losses/metrics (all scalars) plus 'normals', 'mask_bg'.
+    """
+    C = poses.shape[0]
+    HW = cfgs.H * cfgs.W
+    k_rays, k_trace, k_cam, k_st = jax.random.split(key, 4)
+    n_rays = max(cfgs.rand_rays // C, 1)
+    rays_idx = jax.random.permutation(k_rays, HW)[:n_rays]
+    grid_sel = grid[rays_idx]
+    centers, rays = T.get_center_and_ray(poses, intr, grid_sel)   # [C,R,3]
+    rgbs_gt = images[:, rays_idx]                                  # [C,R,3]
+
+    out = {}
+    # tracing-consistency loss on a random camera's tracked keypoints
+    if tracing is not None:
+        cam_j = jax.random.randint(k_cam, (), 0, C)
+        tc = tracing["center"][cam_j][None]
+        tr = tracing["ray"][cam_j][None]
+        txyz = tracing["xyz"][cam_j]
+        tmask = tracing["mask"][cam_j]
+        tres = sdf_mod.sphere_tracing(params["sdf"], cfgs.sdf, tc, tr, key=k_trace)
+        tdist = jnp.linalg.norm(txyz - tres.pts_surface[0], axis=-1)
+        out["tracing_loss"] = L.masked_mean(tdist, tmask)
+        out["sdfs_traced"] = tres.sdf_surf
+        out["tmask"] = tmask
+    else:
+        out["tracing_loss"] = jnp.asarray(0.0)
+
+    ren = ren_mod.render(params["sdf"], cfgs.sdf, params["rad"], cfgs.rad,
+                         cfgs.ren, centers, rays)
+    rgb = ren["rgb"]
+    depth_mlp = ren["depth_mlp"]
+
+    st = sdf_mod.sphere_tracing(params["sdf"], cfgs.sdf,
+                                centers.reshape(1, -1, 3), rays.reshape(1, -1, 3),
+                                key=k_st)
+    d_points = st.d_pred.reshape(C, n_rays, 1)
+    mask_finish = st.finish_mask.reshape(C, n_rays)
+
+    mean_gt = rgbs_gt.mean(axis=-1)
+    mask_bg = (mean_gt < 0.95) & (mean_gt > 0.05)
+    mask_fin = mask_finish & mask_bg
+
+    dc_elem = L.smooth_l1(d_points[..., 0], depth_mlp[..., 0])
+    dc = L.masked_mean(dc_elem, mask_fin)
+    dc = jnp.where(jnp.sum(mask_fin) > 0, dc, 0.0)
+    if cfgs.dc_unfinish_weight is not None:
+        rgb_err = jax.lax.stop_gradient(jnp.abs(rgb - rgbs_gt).mean(axis=-1))
+        w_dc = jnp.exp(-100.0 * rgb_err)
+        dc_unf = L.masked_mean(
+            w_dc * L.smooth_l1(d_points[..., 0], jax.lax.stop_gradient(depth_mlp[..., 0])),
+            (~mask_fin))
+        dc = dc + cfgs.dc_unfinish_weight * C * dc_unf
+
+    out.update(
+        rgb_loss=L.l1(rgb, rgbs_gt),
+        DC_loss=dc,
+        PSNR=L.psnr(rgb, rgbs_gt, mask_bg),
+        normals=ren["normals"],
+        mask_bg=mask_bg,
+    )
+    return out
+
+
+def eikonal_from_normals(normals, mask=None):
+    n = jnp.linalg.norm(normals, axis=-1)
+    if mask is None:
+        return L.l1(n, jnp.ones_like(n))
+    return L.masked_mean(jnp.abs(n - 1.0), jnp.broadcast_to(mask[..., None], n.shape))
+
+
+# ============================================================================
+# Phase: two-view initialization
+# ============================================================================
+
+class InitPhase:
+    """Two-view SDF+color fitting (ref `Initialization.py:138-219`).
+
+    batch keys:
+      center_k [2,N,3], ray_k [2,N,3] — rays through inlier keypoints
+      proj_pose [2,3,4]               — opposite camera w2c
+      kp_src [2,N,2], kp_mask [2,N]   — projection targets + padding mask
+      poses [2,3,4], intr [3,3], images [2,HW,3], grid [HW,2]
+    """
+
+    def __init__(self, cfgs: PhaseCfgs, weights: Dict, lr_sdf=1e-3, lr_sdf_end=1e-4,
+                 lr_color=1e-2, max_iter=500):
+        self.cfgs = cfgs
+        self.weights = dict(weights)
+        self.max_iter = max_iter
+        gamma = optim_mod.decay_gamma(lr_sdf, lr_sdf_end, max_iter)
+        self._mk_tx = lambda params: optim_mod.make_phase_optimizer(
+            params, {"sdf": "sdf", "rad": "color"},
+            {"sdf": lr_sdf, "color": lr_color}, gamma)
+        self._step = jax.jit(self._step_impl)
+        self._run = jax.jit(self._run_impl, static_argnames=("n_iters",))
+        self._tri = jax.jit(self._triangulate_impl)
+
+    def init_state(self, params):
+        tx = self._mk_tx(params)
+        self._tx = tx
+        return {"params": params, "opt": tx.init(params)}
+
+    def _losses(self, params, batch, key):
+        cfgs = self.cfgs
+        k1, k2 = jax.random.split(key)
+        tr = sdf_mod.sphere_tracing(params["sdf"], cfgs.sdf,
+                                    batch["center_k"], batch["ray_k"], key=k1)
+        uv0, _ = T.project_points(tr.pts_surface[0][None], batch["proj_pose"][0][None],
+                                  batch["intr"][None])
+        uv1, _ = T.project_points(tr.pts_surface[1][None], batch["proj_pose"][1][None],
+                                  batch["intr"][None])
+        uv = jnp.stack([uv0[0], uv1[0]], 0)                      # [2,N,2]
+        re = jnp.linalg.norm(uv - batch["kp_src"], axis=-1)       # [2,N]
+        loss = {}
+        loss["reproj_error"] = L.masked_mean(re, batch["kp_mask"])
+        sdf_surf = tr.sdf_surf.reshape(2, -1)
+        loss["sdf_surf"] = L.masked_mean(jnp.abs(sdf_surf), batch["kp_mask"])
+
+        rc = render_core(params, cfgs, k2, batch["poses"], batch["intr"],
+                         batch["images"], batch["grid"])
+        loss["eikonal_loss"] = eikonal_from_normals(rc["normals"])
+        loss["rgb"] = rc["rgb_loss"]
+        loss["DC_Loss"] = rc["DC_loss"]
+        metrics = {"PSNR": rc["PSNR"]}
+        return loss, metrics
+
+    def _step_impl(self, state, batch, key):
+        def total_fn(params):
+            loss, metrics = self._losses(params, batch, key)
+            return L.weighted_total(loss, self.weights), (loss, metrics)
+
+        (total, (loss, metrics)), grads = jax.value_and_grad(total_fn, has_aux=True)(
+            state["params"])
+        updates, opt = self._tx.update(grads, state["opt"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        metrics.update(loss)
+        metrics["all"] = total
+        return {"params": params, "opt": opt}, metrics
+
+    def _run_impl(self, state, batch, key, n_iters: int):
+        keys = jax.random.split(key, n_iters)
+
+        def body(st, k):
+            st, m = self._step_impl(st, batch, k)
+            return st, m
+
+        state, metrics = jax.lax.scan(body, state, keys)
+        return state, metrics
+
+    def step(self, state, batch, key):
+        return self._step(state, batch, key)
+
+    def run(self, state, batch, key, n_iters=None):
+        return self._run(state, batch, key, n_iters=n_iters or self.max_iter)
+
+    def _triangulate_impl(self, params, batch, key):
+        tr = sdf_mod.sphere_tracing(params["sdf"], self.cfgs.sdf,
+                                    batch["center_k"], batch["ray_k"], key=key)
+        finish = tr.finish_mask.reshape(2, -1)
+        return tr.pts_surface, finish
+
+    def triangulate(self, params, batch, key):
+        """Final sphere-traced surface points for two-view triangulation
+        (host applies the 3-sigma + convergence filter,
+        ref `Initialization.py:185-217`)."""
+        return self._tri(params, batch, key)
+
+
+# ============================================================================
+# Phase: geoinit — SDF-based triangulation of a newly registered view
+# ============================================================================
+
+class GeoInitPhase:
+    """New-view triangulation (ref `Registration.py:133-303`).
+
+    batch keys (P = padded pair-observation count, S = #src-view pairs):
+      center [2,P,3], ray [2,P,3]   — row0: rays from the NEW camera,
+                                       row1: rays from the source cameras
+      kp_src [2,P,2]                — row0: targets in src cam; row1: in new cam
+      pose0 [P,3,4]                 — src-cam pose (projects new-cam-traced pts)
+      pose1 [P,3,4]                 — new-cam pose (projects src-cam-traced pts)
+      seg [P]                       — pair index in [0,S)
+      valid [P]                     — padding mask
+      mask_new [P]                  — new-cam keypoint has no 3D point yet
+      xyz_target [P,3], has_target [P] — existing 3D point for tracked kypts
+      pts_exists [E,3], pts_mask [E]   — existing point cloud (for sdf/eikonal reg)
+      intr [3,3]
+    """
+
+    def __init__(self, cfgs: PhaseCfgs, weights: Dict, n_segments: int,
+                 lr_sdf=1e-3, lr_sdf_end=1e-3, max_iter=500, reproj_max=15.0,
+                 exist_subsample=4000):
+        self.cfgs = cfgs
+        self.weights = dict(weights)
+        self.max_iter = max_iter
+        self.n_segments = n_segments
+        self.reproj_max = reproj_max
+        self.exist_subsample = exist_subsample
+        gamma = optim_mod.decay_gamma(lr_sdf, lr_sdf_end, max_iter)
+        self._mk_tx = lambda params: optim_mod.make_phase_optimizer(
+            params, {"sdf": "sdf", "rad": "frozen"}, {"sdf": lr_sdf}, gamma)
+        self._step = jax.jit(self._step_impl)
+        self._run = jax.jit(self._run_impl, static_argnames=("n_iters",))
+        self._final = jax.jit(self._final_impl)
+
+    def init_state(self, params):
+        tx = self._mk_tx(params)
+        self._tx = tx
+        return {"params": params, "opt": tx.init(params)}
+
+    def _trace_and_masks(self, params, batch, key):
+        cfgs = self.cfgs
+        tr = sdf_mod.sphere_tracing(params["sdf"], cfgs.sdf,
+                                    batch["center"], batch["ray"], key=key)
+        pts = tr.pts_surface                       # [2,P,3]
+        finish = tr.finish_mask.reshape(2, -1)     # [2,P]
+        uv0, _ = project_points_per(pts[0], batch["pose0"], batch["intr"])
+        uv1, _ = project_points_per(pts[1], batch["pose1"], batch["intr"])
+        re0 = jnp.linalg.norm(uv0 - batch["kp_src"][0], axis=-1)
+        re1 = jnp.linalg.norm(uv1 - batch["kp_src"][1], axis=-1)
+        rmax = self.reproj_max
+        m0 = finish[0] & (re0 > rmax)
+        m1 = finish[1] & (re1 > rmax)
+        reject = (m0 & m1) | ((re0 > 2 * rmax) & (re1 > 2 * rmax))
+        reject = reject | (re0 > 4 * rmax) | (re1 > 4 * rmax)
+        return tr, pts, finish, re0, re1, reject
+
+    def _losses(self, params, batch, key):
+        cfgs = self.cfgs
+        S = self.n_segments
+        k1, k2 = jax.random.split(key)
+        tr, pts, finish, re0, re1, reject = self._trace_and_masks(params, batch, k1)
+        valid = batch["valid"]
+        mask_new = batch["mask_new"] & valid
+        seg = batch["seg"]
+
+        # per-pair mean reprojection over accepted NEW observations
+        w_re = (mask_new & (~reject)).astype(re0.dtype)
+        v_re = (re0 + re1) / 2
+        seg_sum = jax.ops.segment_sum(v_re * w_re, seg, num_segments=S)
+        seg_cnt = jax.ops.segment_sum(w_re, seg, num_segments=S)
+        has_re = seg_cnt > 0
+        per_seg = jnp.where(has_re, seg_sum / jnp.maximum(seg_cnt, 1.0), 0.0)
+        n_frames_re = jnp.sum(has_re)
+        reproj = jnp.sum(per_seg) / jnp.maximum(n_frames_re, 1)
+
+        # tracing loss for already-tracked keypoints of the new camera
+        w_tr = ((~batch["mask_new"]) & valid & batch["has_target"]).astype(re0.dtype)
+        tdist = jnp.linalg.norm(batch["xyz_target"] - pts[0], axis=-1)
+        seg_tsum = jax.ops.segment_sum(tdist * w_tr, seg, num_segments=S)
+        seg_tcnt = jax.ops.segment_sum(w_tr, seg, num_segments=S)
+        has_t = seg_tcnt > 0
+        per_seg_t = jnp.where(has_t, seg_tsum / jnp.maximum(seg_tcnt, 1.0), 0.0)
+        tracing = jnp.sum(per_seg_t) / jnp.maximum(jnp.sum(has_t), 1)
+
+        # sdf-surface + eikonal regularization with existing points
+        E = batch["pts_exists"].shape[0]
+        n_sub = min(self.exist_subsample, E)
+        pick = jax.random.permutation(k2, E)[:n_sub]
+        pe = batch["pts_exists"][pick]
+        pe_mask = batch["pts_mask"][pick]
+        sdf_e = sdf_mod.infer_sdf(params["sdf"], cfgs.sdf, pe)[..., 0]
+        near = (jnp.abs(sdf_e) < cfgs.sdf.sdf_threshold) & pe_mask
+        kp_mask2 = jnp.concatenate([valid, valid], 0)
+        sdf_abs_sum = (jnp.sum(jnp.abs(sdf_e) * near)
+                       + jnp.sum(jnp.abs(tr.sdf_surf) * kp_mask2))
+        sdf_cnt = jnp.sum(near) + jnp.sum(kp_mask2)
+        sdf_surf = sdf_abs_sum / jnp.maximum(sdf_cnt, 1.0)
+
+        g_samp = sdf_mod.gradient(params["sdf"], cfgs.sdf, tr.sample_pts)
+        g_exist = sdf_mod.gradient(params["sdf"], cfgs.sdf, pe)
+        gn = jnp.concatenate([jnp.linalg.norm(g_exist, axis=-1),
+                              jnp.linalg.norm(g_samp[0], axis=-1)], 0)
+        gmask = jnp.concatenate([pe_mask, jnp.ones(g_samp.shape[1], bool)], 0)
+        eik = L.masked_mean(jnp.abs(gn - 1.0), gmask)
+
+        loss = {"reproj_error": reproj, "tracing_loss": tracing,
+                "sdf_surf": sdf_surf, "eikonal_loss": eik}
+        # drop reproj when no frame has accepted observations (ref :267-270)
+        loss["reproj_error"] = jnp.where(n_frames_re > 0, loss["reproj_error"], 0.0)
+        metrics = {"n_frames_re": n_frames_re}
+        return loss, metrics
+
+    def _step_impl(self, state, batch, key):
+        def total_fn(params):
+            loss, metrics = self._losses(params, batch, key)
+            return L.weighted_total(loss, self.weights), (loss, metrics)
+
+        (total, (loss, metrics)), grads = jax.value_and_grad(total_fn, has_aux=True)(
+            state["params"])
+        updates, opt = self._tx.update(grads, state["opt"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        metrics.update(loss)
+        metrics["all"] = total
+        return {"params": params, "opt": opt}, metrics
+
+    def _run_impl(self, state, batch, key, n_iters: int):
+        keys = jax.random.split(key, n_iters)
+
+        def body(st, k):
+            return self._step_impl(st, batch, k)
+
+        return jax.lax.scan(body, state, keys)
+
+    def step(self, state, batch, key):
+        return self._step(state, batch, key)
+
+    def run(self, state, batch, key, n_iters=None):
+        return self._run(state, batch, key, n_iters=n_iters or self.max_iter)
+
+    def _final_impl(self, params, batch, key):
+        """Final trace for host-side point acceptance (ref `:281-302`)."""
+        tr, pts, finish, re0, re1, reject = self._trace_and_masks(params, batch, key)
+        valid = batch["valid"]
+        w_tr = (~batch["mask_new"]) & valid & batch["has_target"]
+        tdist = jnp.linalg.norm(batch["xyz_target"] - pts[0], axis=-1)
+        return {"pts": pts, "finish": finish, "reject": reject,
+                "trace_dist": tdist, "trace_mask": w_tr}
+
+    def final(self, params, batch, key):
+        return self._final_impl(params, batch, key)
+
+
+# ============================================================================
+# Phase: neural bundle adjustment
+# ============================================================================
+
+class BAPhase:
+    """Joint pose + field optimization (ref `BA.py:110-188`).
+
+    params: {"sdf","rad","se3_r" [C,3],"se3_t" [C,3]}; the track points are
+    NOT free variables — they are re-projected onto the SDF zero set each
+    iteration and carried (ref `BA.py:123-124,182`).
+
+    batch keys:
+      xyzs [P,3] (initial; carried in state), pose_idx [P], kp [P,2], valid [P]
+      poses_fixed [C,3,4] — old poses for the tracing branch rays
+      images [C,HW,3], intr [3,3], grid [HW,2]
+      tracing {"center","ray","xyz","mask"} per-camera padded
+    """
+
+    def __init__(self, cfgs: PhaseCfgs, weights: Dict, mode: str = "sfm",
+                 single_cam: bool = False,
+                 lr_sdf=1e-4, lr_sdf_end=5e-5, lr_color=1e-3,
+                 lr_pose_r=5e-3, lr_pose_t=1e-2, max_iter=1000):
+        assert mode in ("sfm", "sfm_refine", "rad_init")
+        self.cfgs = cfgs
+        self.weights = dict(weights)
+        self.mode = mode
+        self.single_cam = single_cam
+        self.max_iter = max_iter
+        gamma = optim_mod.decay_gamma(lr_sdf, lr_sdf_end, max_iter)
+        label_of = {"sdf": "sdf", "rad": "color", "se3_r": "pose_r", "se3_t": "pose_t"}
+        if mode == "rad_init":
+            label_of["se3_r"] = label_of["se3_t"] = "frozen"
+        self._mk_tx = lambda params: optim_mod.make_phase_optimizer(
+            params, label_of,
+            {"sdf": lr_sdf, "color": lr_color, "pose_r": lr_pose_r, "pose_t": lr_pose_t},
+            gamma)
+        self._step = jax.jit(self._step_impl)
+        self._run = jax.jit(self._run_impl, static_argnames=("n_iters",))
+
+    def init_state(self, params, xyzs):
+        tx = self._mk_tx(params)
+        self._tx = tx
+        return {"params": params, "opt": tx.init(params), "xyzs": xyzs}
+
+    def _losses(self, params, xyzs, batch, key):
+        cfgs = self.cfgs
+        thr = cfgs.sdf.finish_threshold
+        se3 = jnp.concatenate([params["se3_r"], params["se3_t"]], axis=1)  # [C,6]
+
+        xyzs_new, normals_value = sdf_mod.get_surface_pts(params["sdf"], cfgs.sdf, xyzs)
+        sdfs = sdf_mod.infer_sdf(params["sdf"], cfgs.sdf, xyzs_new)        # [P,1]
+        poses_fwd = lie.se3_to_SE3(se3[batch["pose_idx"]])                 # [P,3,4]
+        uv, _ = project_points_per(xyzs_new, poses_fwd, batch["intr"])
+        r = jnp.linalg.norm(uv - batch["kp"], axis=-1)                     # [P]
+        mask_surf = (jnp.abs(sdfs[..., 0]) < 2 * thr) & batch["valid"]
+        mask_ok = mask_surf & jnp.isfinite(r)
+        robust = 0.5 * (2 * jnp.log(1 + r ** 2 / 4)) + 0.5 * r
+        reproj_loss = L.masked_mean(robust, mask_ok)
+        reproj_loss = jnp.where(jnp.sum(mask_surf) > 0, reproj_loss, 0.0)
+        reproj_metric = L.masked_mean(r, mask_ok)
+
+        loss = {"reproj_error": reproj_loss}
+        metrics = {"reproj_px": reproj_metric,
+                   "pts3d_ratio": jnp.sum(mask_surf) / jnp.maximum(jnp.sum(batch["valid"]), 1)}
+
+        if self.mode != "sfm":
+            pose_input = lie.se3_to_SE3(se3)
+            if not self.single_cam:
+                pose_input = jax.lax.stop_gradient(pose_input)
+            rc = render_core(params, cfgs, key, pose_input, batch["intr"],
+                             batch["images"], batch["grid"], tracing=batch["tracing"])
+            loss["eikonal_loss"] = eikonal_from_normals(rc["normals"], rc["mask_bg"])
+            loss["rgb"] = rc["rgb_loss"]
+            loss["DC_Loss"] = rc["DC_loss"]
+            loss["sdf_surf"] = L.masked_mean(jnp.abs(sdfs[..., 0]), batch["valid"])
+            loss["tracing_loss"] = rc["tracing_loss"]
+            metrics["PSNR"] = rc["PSNR"]
+        else:
+            loss["sdf_surf"] = L.masked_mean(jnp.abs(sdfs[..., 0]), batch["valid"])
+            loss["eikonal_loss"] = L.masked_mean(
+                jnp.abs(normals_value[..., 0] - 1.0), batch["valid"])
+        return loss, metrics, xyzs_new
+
+    def _step_impl(self, state, batch, key):
+        def total_fn(params):
+            loss, metrics, xyzs_new = self._losses(params, state["xyzs"], batch, key)
+            # dynamic reprojection weight flip (ref `BA.py:164-167`)
+            w = dict(self.weights)
+            w_re = jnp.where(metrics["reproj_px"] > 10.0, 1.0, 0.0)
+            total = L.weighted_total(
+                {k: v for k, v in loss.items() if k != "reproj_error"}, w)
+            total = total + 10.0 ** w_re * loss["reproj_error"]
+            return total, (loss, metrics, xyzs_new)
+
+        (total, (loss, metrics, xyzs_new)), grads = jax.value_and_grad(
+            total_fn, has_aux=True)(state["params"])
+        updates, opt = self._tx.update(grads, state["opt"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        metrics.update(loss)
+        metrics["all"] = total
+        new_state = {"params": params, "opt": opt,
+                     "xyzs": jax.lax.stop_gradient(xyzs_new)}
+        return new_state, metrics
+
+    def _run_impl(self, state, batch, key, n_iters: int):
+        keys = jax.random.split(key, n_iters)
+
+        def body(st, k):
+            return self._step_impl(st, batch, k)
+
+        return jax.lax.scan(body, state, keys)
+
+    def step(self, state, batch, key):
+        return self._step(state, batch, key)
+
+    def run(self, state, batch, key, n_iters=None):
+        return self._run(state, batch, key, n_iters=n_iters or self.max_iter)
+
+
+# ============================================================================
+# Phase: rendering refine
+# ============================================================================
+
+class RefinePhase:
+    """Freeze poses, optimize fields on rendering losses
+    (ref `rendering_refine.py:73-121`).
+
+    batch keys: poses [C,3,4], intr, images [C,HW,3], grid, tracing{...}.
+    """
+
+    def __init__(self, cfgs: PhaseCfgs, weights: Dict,
+                 lr_sdf=1e-3, lr_sdf_end=5e-4, lr_color=1e-3, max_iter=500):
+        self.cfgs = cfgs
+        self.weights = dict(weights)
+        self.max_iter = max_iter
+        gamma = optim_mod.decay_gamma(lr_sdf, lr_sdf_end, max_iter)
+        self._mk_tx = lambda params: optim_mod.make_phase_optimizer(
+            params, {"sdf": "sdf", "rad": "color"},
+            {"sdf": lr_sdf, "color": lr_color}, gamma)
+        self._step = jax.jit(self._step_impl)
+        self._run = jax.jit(self._run_impl, static_argnames=("n_iters",))
+
+    def init_state(self, params):
+        tx = self._mk_tx(params)
+        self._tx = tx
+        return {"params": params, "opt": tx.init(params)}
+
+    def _losses(self, params, batch, key):
+        rc = render_core(params, self.cfgs, key, batch["poses"], batch["intr"],
+                         batch["images"], batch["grid"], tracing=batch["tracing"])
+        loss = {
+            "eikonal_loss": eikonal_from_normals(rc["normals"]),
+            "rgb": rc["rgb_loss"],
+            "DC_Loss": rc["DC_loss"],
+            "tracing_loss": rc["tracing_loss"],
+            # refine's sdf_surf acts on the traced keypoints' sdf (ref
+            # `Camera.py:485-486` + `rendering_refine.py:106`)
+            "sdf_surf": L.masked_mean(jnp.abs(rc["sdfs_traced"]), rc["tmask"]),
+        }
+        return loss, {"PSNR": rc["PSNR"]}
+
+    def _step_impl(self, state, batch, key):
+        def total_fn(params):
+            loss, metrics = self._losses(params, batch, key)
+            return L.weighted_total(loss, self.weights), (loss, metrics)
+
+        (total, (loss, metrics)), grads = jax.value_and_grad(total_fn, has_aux=True)(
+            state["params"])
+        updates, opt = self._tx.update(grads, state["opt"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        metrics.update(loss)
+        metrics["all"] = total
+        return {"params": params, "opt": opt}, metrics
+
+    def _run_impl(self, state, batch, key, n_iters: int):
+        keys = jax.random.split(key, n_iters)
+
+        def body(st, k):
+            return self._step_impl(st, batch, k)
+
+        return jax.lax.scan(body, state, keys)
+
+    def step(self, state, batch, key):
+        return self._step(state, batch, key)
+
+    def run(self, state, batch, key, n_iters=None):
+        return self._run(state, batch, key, n_iters=n_iters or self.max_iter)

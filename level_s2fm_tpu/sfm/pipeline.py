@@ -1,0 +1,237 @@
+"""Incremental SfM orchestrator — the engine state machine.
+
+TPU-native equivalent of the reference `pipelines/LevelS2fM.py:92-455`:
+two-view init, then per view: NBV selection (colmap order or PnP scoring),
+PnP registration, SDF triangulation, sfm_refine -> local BA -> global BA
+cycles with the reference's reprojection gates (2.5 px / 1.0 px, cycle
+caps 1/5/5), rendering refine, checkpoint. Unlike the reference (which
+IndexErrors off the end of the pose graph, ref `:238-245`), the loop
+terminates cleanly when all views are registered.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..fields import radiance as radf
+from ..fields import sdf as sdf_mod
+from ..rendering import renderer as ren_mod
+from ..utils import checkpoint as ckpt_mod
+from . import entities
+from .bundle import Bundler, Refiner
+from .initialization import Initializer
+from .phases import PhaseCfgs
+from .registration import Registration
+
+
+class LevelSfM:
+    """Top-level model/engine (ref `pipelines/LevelS2fM.py:32-90` +
+    `pipelines/base.py:21-53`)."""
+
+    def __init__(self, opt, seed: int = 0):
+        self.opt = opt
+        self.sdf_cfg = sdf_mod.config_from_opt(opt)
+        self.rad_cfg = radf.config_from_opt(opt)
+        self.ren_cfg = ren_mod.config_from_opt(opt)
+        H, W = opt.data.image_size
+        dcw = opt.data.get("unfinish_dc", None)
+        dataset = opt.data.get("dataset", None)
+        in_list = dataset in ["TanksAndTemple", "BlendedMVS", "scannet", "DTU",
+                              "llff", "ETH3D", "ETH3D_sp", None, "synthetic"]
+        self.cfgs = PhaseCfgs(sdf=self.sdf_cfg, rad=self.rad_cfg, ren=self.ren_cfg,
+                              H=H, W=W,
+                              rand_rays=int(opt.Renderer.rand_rays),
+                              dc_unfinish_weight=None if in_list else dcw)
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        self.params = {"sdf": sdf_mod.init_params(k1, self.sdf_cfg),
+                       "rad": radf.init_params(k2, self.rad_cfg)}
+        self.key = jax.random.PRNGKey(seed + 1)
+        self.camera_set = entities.CameraSet()
+        self.point_set = entities.PointSet()
+        self.var: Optional[Dict] = None
+        self.it = 0
+        self.cam_info_reloaded = None
+        self.pts_info_reloaded = None
+
+    # ------------------------------------------------------------ data/ckpt
+    def load_data(self, var: Dict):
+        """var: kypts, matches, masks, poses_gt, images, intrs, pose_graph."""
+        self.var = var
+
+    def next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def ckpt_path(self, numbered: Optional[int] = None) -> str:
+        out = self.opt.get("output_path", "output/run")
+        if numbered is None:
+            return os.path.join(out, "model.ckpt")
+        return os.path.join(out, f"model_{numbered}.ckpt")
+
+    def save_checkpoint(self, latest=True):
+        ckpt_mod.save_checkpoint_sfm(self.ckpt_path(), self.params,
+                                     self.camera_set, self.point_set, it=self.it)
+        if not latest:
+            ckpt_mod.save_checkpoint_sfm(self.ckpt_path(self.it), self.params,
+                                         self.camera_set, self.point_set, it=self.it)
+
+    def restore_checkpoint(self, path: Optional[str] = None):
+        path = path or self.ckpt_path()
+        params, cam_info, pts_info, it = ckpt_mod.restore_checkpoint_sfm(path)
+        self.params = params
+        self.cam_info_reloaded = cam_info
+        self.pts_info_reloaded = pts_info
+        self.it = it
+
+    def _reload_scene(self):
+        """Rebuild CameraSet/PointSet from a restored checkpoint
+        (ref `LevelS2fM.py:117-206`)."""
+        var = self.var
+        xyzs = self.pts_info_reloaded["xyzs"]
+        tracks = self.pts_info_reloaded["feat_tracks"]
+        self.point_set.add_points(np.asarray(xyzs), tracks)
+        info = self.cam_info_reloaded
+        for k, cam_id in enumerate(info["cam_id"]):
+            cam = entities.Camera(
+                id=int(cam_id),
+                img=np.asarray(var["images"][cam_id], np.float32),
+                intr=np.asarray(var["intrs"][cam_id], np.float32),
+                pose_gt=np.asarray(var["poses_gt"][cam_id], np.float32),
+                kypts=np.asarray(var["kypts"][cam_id], np.float32),
+                matches=var["matches"][cam_id],
+                inlier_masks=var["masks"][cam_id],
+                se3=np.asarray(info["pose_para"][k], np.float32),
+                idx2d_to_3d=np.asarray(info["idx2d_to_3ds"][k]))
+            self.camera_set.add(cam)
+
+    def _make_camera(self, cam_id: int) -> entities.Camera:
+        var = self.var
+        return entities.Camera(
+            id=cam_id,
+            img=np.asarray(var["images"][cam_id], np.float32),
+            intr=np.asarray(var["intrs"][cam_id], np.float32),
+            pose_gt=np.asarray(var["poses_gt"][cam_id], np.float32),
+            kypts=np.asarray(var["kypts"][cam_id], np.float32),
+            matches=var["matches"][cam_id],
+            inlier_masks=var["masks"][cam_id])
+
+    # ------------------------------------------------------------ phases
+    def initialize_two_views(self, id0: int, id1: int, verbose=True):
+        var = self.var
+        init_var = {
+            "indx_init": [id0, id1],
+            "imgs_init": [var["images"][id0], var["images"][id1]],
+            "kypts_init": [var["kypts"][id0], var["kypts"][id1]],
+            "intrs_init": [var["intrs"][id0], var["intrs"][id1]],
+            "mchs_init": [var["matches"][id0], var["matches"][id1]],
+            "inliers_init": [var["masks"][id0], var["masks"][id1]],
+            "poses_gt": var["poses_gt"],
+        }
+        init = Initializer(self.opt, self.cfgs, self.camera_set, self.point_set,
+                           init_var, cam_info_reloaded=self.cam_info_reloaded)
+        if self.cam_info_reloaded is None:
+            self.params = init.run(self.params, self.next_key(), verbose=verbose)
+
+    def select_next_view(self, pose_graph_left, verbose=True) -> int:
+        """NBV: colmap order, or PnP inlier scoring (ref `LevelS2fM.py:243-282`)."""
+        if self.opt.get("nbv_mode", "colmap") == "colmap":
+            return pose_graph_left[0]
+        nums, ratios, views = [], [], []
+        for cand in pose_graph_left:
+            cam = self._make_camera(cand)
+            reg = Registration(self.opt, self.cfgs, self.camera_set)
+            ok, ratio, num = reg.pnp(self.params, cam, self.point_set, if_nbv=False)
+            nums.append(num)
+            ratios.append(ratio)
+            views.append(len(reg.src_cam_id))
+        nums = np.asarray(nums, np.float64)
+        score = (np.asarray(ratios) * np.clip(np.asarray(views), 0, 10)
+                 + nums / max(nums.max(), 1))
+        return pose_graph_left[int(np.argmax(score))]
+
+    def register_view(self, new_id: int, verbose=True) -> bool:
+        """PnP + geo-init + BA cycles for one view (ref `:283-431`)."""
+        opt = self.opt
+        camera_new = self._make_camera(new_id)
+        reg = Registration(opt, self.cfgs, self.camera_set)
+        ok, ratio, num = reg.pnp(self.params, camera_new, self.point_set, if_nbv=True)
+        self.camera_set.eval_poses(verbose=verbose)
+        if not ok:
+            print("reconstruct fail")
+            return False
+        self.camera_set.add(camera_new)
+        self.params = reg.geo_init(self.params, camera_new, self.point_set,
+                                   self.next_key(), verbose=verbose)
+        src_cam_id = reg.src_cam_id
+
+        full = opt.get("sfm_mode", "full") == "full"
+        if full:
+            # reproj+rendering registration refine on the new cam (<=1 cycle)
+            reproj, cycle = 100.0, 0
+            while reproj > 2.5 and cycle < 1:
+                b = Bundler(opt, self.cfgs, self.camera_set, self.point_set,
+                            cam_pick_ids=[new_id], mode="sfm_refine")
+                self.params, reproj = b.run(self.params, self.next_key(), verbose)
+                self.camera_set.eval_poses(src_cam_id + [new_id], verbose=verbose)
+                cycle += 1
+        # local BA cycles
+        reproj, cycle = 100.0, 0
+        while reproj > 1.0 and cycle < 5:
+            b = Bundler(opt, self.cfgs, self.camera_set, self.point_set,
+                        cam_pick_ids=[new_id] + src_cam_id, mode="sfm")
+            self.params, reproj = b.run(self.params, self.next_key(), verbose)
+            self.camera_set.eval_poses(src_cam_id + [new_id], verbose=verbose)
+            cycle += 1
+        # global BA cycles
+        reproj, cycle = 100.0, 0
+        while reproj > 1.0 and cycle < 5:
+            b = Bundler(opt, self.cfgs, self.camera_set, self.point_set, mode="sfm")
+            self.params, reproj = b.run(self.params, self.next_key(), verbose)
+            self.camera_set.eval_poses(verbose=verbose)
+            cycle += 1
+        if full:
+            r = Refiner(opt, self.cfgs, self.camera_set, self.point_set)
+            self.params = r.run(self.params, self.next_key(), verbose)
+        return True
+
+    # ------------------------------------------------------------ main loop
+    def train(self, verbose=True, max_views: Optional[int] = None):
+        opt = self.opt
+        var = self.var
+        pose_graph = list(var["pose_graph"])
+        n_img = len(var["images"])
+        if len(pose_graph) <= n_img / 2:
+            print("------supplement the pose graph------------")
+            pose_graph = pose_graph + [j for j in range(n_img) if j not in pose_graph]
+
+        if self.cam_info_reloaded is not None:
+            self._reload_scene()
+            print("reloading finished")
+        while True:
+            if max_views is not None and len(self.camera_set) >= max_views:
+                break
+            if len(self.camera_set) < 2:
+                if self.cam_info_reloaded is not None:
+                    ids = self.cam_info_reloaded["cam_id"][:2]
+                else:
+                    ids = pose_graph[:2]
+                self.initialize_two_views(ids[0], ids[1], verbose=verbose)
+                self.save_checkpoint(latest=False)
+                continue
+            left = [p for p in pose_graph if p not in self.camera_set.cam_ids]
+            print(f"---------------- {len(left)} frames left ------------------")
+            if not left:
+                print("finish!")
+                break
+            new_id = self.select_next_view(left, verbose=verbose)
+            print(f"-------------the best view next id is {new_id}--------------")
+            if not self.register_view(new_id, verbose=verbose):
+                return False
+            self.it += 1
+            self.save_checkpoint(latest=(self.it % int(opt.freq.ckpt) != 0))
+        return True

@@ -1,0 +1,232 @@
+"""New-view registration: covisibility gather, PnP, SDF triangulation.
+
+Host orchestration of the reference `pipelines/Registration.py`:
+``get_pairs`` collects 2D-3D matches via the idx2d_to_3d track maps
+(ref `:38-73`), ``pnp`` filters by SDF value then solves absolute pose
+(ref `:75-126`), and ``geo_init`` runs the jitted GeoInitPhase (SDF-based
+triangulation) and accepts new points by the tracing-loss mean+std
+threshold (ref `:133-303`).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import sdf as sdf_mod
+from ..geometry import lie, transforms as T
+from . import entities, hostgeom
+from .phases import GeoInitPhase, PhaseCfgs
+
+
+class Registration:
+    def __init__(self, opt, cfgs: PhaseCfgs, cameraset: entities.CameraSet):
+        self.opt = opt
+        self.cfgs = cfgs
+        self.cameraset = cameraset
+        self.src_cam_id: List[int] = []
+
+    # ------------------------------------------------------------ get_pairs
+    def get_pairs(self, new_cam: entities.Camera, pointset: entities.PointSet):
+        """2D-3D correspondences for the new view from registered views."""
+        pts_3d, pts_2d, id_3d, id_2d = [], [], [], []
+        for cam_i in self.cameraset.cameras:
+            self_idx, other_idx = cam_i.matched_kypt_ids(new_cam.id)
+            if self_idx.size < 1:
+                continue
+            pts3d_idx = cam_i.idx2d_to_3d[self_idx]
+            mask = pts3d_idx != -1
+            if mask.sum() == 0:
+                continue
+            self.src_cam_id.append(cam_i.id)
+            pts_3d.append(pointset.get_xyzs(pts3d_idx[mask]))
+            pts_2d.append(new_cam.kypts[other_idx[mask]])
+            id_3d.append(pts3d_idx[mask])
+            id_2d.append(other_idx[mask])
+        if len(id_2d) == 0:
+            return None
+        id_2d_cat = np.concatenate(id_2d)
+        id_2d_u, org = np.unique(id_2d_cat, return_index=True)
+        return (np.concatenate(pts_3d)[org], np.concatenate(pts_2d)[org],
+                np.concatenate(id_3d)[org], id_2d_u)
+
+    # ------------------------------------------------------------ PnP
+    def pnp(self, params, camera_new: entities.Camera, pointset: entities.PointSet,
+            if_nbv: bool = False) -> Tuple[bool, float, int]:
+        """SDF-filtered PnP RANSAC + refinement (ref `:75-126`).
+
+        Returns (success, inlier_ratio, inlier_count)."""
+        pairs = self.get_pairs(camera_new, pointset)
+        if pairs is None:
+            return False, 0.0, 0
+        p3d, p2d, id_3d, id_2d = pairs
+        if (len(p3d) < 100) and not if_nbv:
+            return False, 0.0, len(p3d)
+        sdfs = np.asarray(sdf_mod.infer_sdf(params["sdf"], self.cfgs.sdf,
+                                            jnp.asarray(p3d)))[:, 0]
+        mask = sdfs < 0.05
+        p3d_m, p2d_m = p3d[mask], p2d[mask]
+        res = hostgeom.pnp_ransac(p2d_m, p3d_m, camera_new.intr, max_error_px=3.0)
+        if not res.success:
+            print(f"registration fail# image{camera_new.id}")
+            return False, 0.0, 0
+        id_2d_in = id_2d[mask][res.inliers]
+        id_3d_in = id_3d[mask][res.inliers]
+        print(f"PnP: {len(id_3d)} (found), {len(p3d_m)} (masked), {len(id_2d_in)} (inliers)")
+        if (len(id_2d_in) < 100) and not if_nbv:
+            return False, len(id_2d_in) / max(len(p3d_m), 1), len(id_2d_in)
+        SE3 = np.concatenate([res.R, res.t.reshape(3, 1)], axis=-1)
+        camera_new.se3 = np.asarray(lie.SE3_to_se3(jnp.asarray(SE3[None], jnp.float32)))[0]
+        new_cam_pos = len(self.cameraset)  # position the new camera will take
+        pointset.update_feat_tracks(id_3d_in,
+                                    [(new_cam_pos, int(k)) for k in id_2d_in])
+        camera_new.idx2d_to_3d[id_2d_in] = id_3d_in
+        return True, len(id_2d_in) / max(len(p3d_m), 1), len(id_2d_in)
+
+    # ------------------------------------------------------------ geo init
+    def _pair_rays(self, cam_from: entities.Camera, cam_with: entities.Camera):
+        """Rays from cam_from through its inlier kypts matched with cam_with,
+        plus targets in cam_with and cam_from's kypt indices."""
+        self_idx, other_idx = cam_from.matched_kypt_ids(cam_with.id)
+        kps = cam_from.kypts[self_idx]
+        c, r = T.get_center_and_ray(jnp.asarray(cam_from.pose())[None],
+                                    jnp.asarray(cam_from.intr),
+                                    jnp.asarray(kps, jnp.float32))
+        return (np.asarray(c[0]), np.asarray(r[0]),
+                cam_with.kypts[other_idx].astype(np.float32), self_idx)
+
+    def geo_init(self, params, camera_new: entities.Camera,
+                 pointset: entities.PointSet, key, verbose=True,
+                 reproj_max: float = 15.0):
+        """SDF-based triangulation of new observations (ref `:133-303`)."""
+        opt = self.opt
+        segs = []
+        for src_id in self.src_cam_id:
+            cam_i = self.cameraset(src_id)
+            c0, r0, kp_in_src, kidx_new = self._pair_rays(camera_new, cam_i)
+            c1, r1, kp_in_new, kidx_src = self._pair_rays(cam_i, camera_new)
+            n = c0.shape[0]
+            assert c1.shape[0] == n, "match lists must be symmetric"
+            segs.append(dict(c0=c0, r0=r0, c1=c1, r1=r1,
+                             kp0=kp_in_src, kp1=kp_in_new,
+                             kidx_new=kidx_new, kidx_src=kidx_src,
+                             pose_src=cam_i.pose(), n=n,
+                             cam_pair=(self.cameraset.index_of(camera_new.id),
+                                       self.cameraset.index_of(src_id))))
+        if not segs:
+            return self.src_cam_id
+
+        P_real = sum(s["n"] for s in segs)
+        P = entities.pad_to_bucket(P_real)
+        S = len(segs)
+        f32 = np.float32
+
+        def alloc(shape, fill=0.0, dtype=f32):
+            return np.full(shape, fill, dtype)
+
+        center = alloc((2, P, 3))
+        ray = alloc((2, P, 3))
+        ray[..., 2] = 1.0  # benign padding direction
+        kp_src = alloc((2, P, 2))
+        pose0 = np.broadcast_to(np.eye(3, 4, dtype=f32), (P, 3, 4)).copy()
+        pose1 = np.broadcast_to(np.eye(3, 4, dtype=f32), (P, 3, 4)).copy()
+        seg_ids = np.zeros(P, np.int32)
+        valid = np.zeros(P, bool)
+        mask_new = np.zeros(P, bool)
+        xyz_target = alloc((P, 3))
+        has_target = np.zeros(P, bool)
+        pose_new = camera_new.pose()
+
+        off = 0
+        for si, s in enumerate(segs):
+            sl = slice(off, off + s["n"])
+            center[0, sl], ray[0, sl] = s["c0"], s["r0"]
+            center[1, sl], ray[1, sl] = s["c1"], s["r1"]
+            kp_src[0, sl], kp_src[1, sl] = s["kp0"], s["kp1"]
+            pose0[sl] = s["pose_src"]
+            pose1[sl] = pose_new
+            seg_ids[sl] = si
+            valid[sl] = True
+            idx3d = camera_new.idx2d_to_3d[s["kidx_new"]]
+            is_new = idx3d == -1
+            s["is_new"] = is_new
+            mask_new[sl] = is_new
+            tracked = ~is_new
+            if tracked.any():
+                rows = np.arange(off, off + s["n"])[tracked]
+                xyz_target[rows] = pointset.get_xyzs(idx3d[tracked])
+                has_target[rows] = True
+            off += s["n"]
+
+        E_real = max(len(pointset), 1)
+        E = entities.pad_to_bucket(E_real)
+        pts_exists = alloc((E, 3))
+        pts_exists[:len(pointset)] = pointset.all_xyzs()
+        pts_mask = np.zeros(E, bool)
+        pts_mask[:len(pointset)] = True
+
+        og = opt.optim.geoinit
+        weights = {k: v for k, v in opt.loss_weight.geoinit.items()}
+        # reference runs max_iter*5 triangulation iters (`Registration.py:140`)
+        phase = GeoInitPhase(self.cfgs, weights, n_segments=S,
+                             lr_sdf=float(og.lr_sdf), lr_sdf_end=float(og.lr_sdf_end),
+                             max_iter=int(og.max_iter) * 5, reproj_max=reproj_max)
+        batch = {
+            "center": jnp.asarray(center), "ray": jnp.asarray(ray),
+            "kp_src": jnp.asarray(kp_src),
+            "pose0": jnp.asarray(pose0), "pose1": jnp.asarray(pose1),
+            "seg": jnp.asarray(seg_ids), "valid": jnp.asarray(valid),
+            "mask_new": jnp.asarray(mask_new),
+            "xyz_target": jnp.asarray(xyz_target), "has_target": jnp.asarray(has_target),
+            "pts_exists": jnp.asarray(pts_exists), "pts_mask": jnp.asarray(pts_mask),
+            "intr": jnp.asarray(camera_new.intr),
+        }
+        state = phase.init_state(params)
+        state, metrics = phase.run(state, batch, key)
+        params = state["params"]
+        if verbose:
+            last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()
+                    if np.asarray(v).ndim == 1}
+            print({"phase": "geoinit", **{k: round(v, 4) for k, v in last.items()}})
+
+        fin = phase.final(params, batch, jax.random.fold_in(key, 7))
+        self._accept_points(fin, segs, camera_new, pointset, verbose)
+        return params
+
+    def _accept_points(self, fin, segs, camera_new, pointset, verbose):
+        """Tracing-loss mean+std acceptance of new triangulations
+        (ref `:281-302`)."""
+        pts = np.asarray(fin["pts"])
+        finish = np.asarray(fin["finish"])
+        reject = np.asarray(fin["reject"])
+        tdist = np.asarray(fin["trace_dist"])
+        tmask = np.asarray(fin["trace_mask"])
+        rec = tdist[tmask]
+        threshold = rec.mean() + rec.std() if rec.size else np.inf
+
+        off = 0
+        for s in segs:
+            sl = slice(off, off + s["n"])
+            # mask computed at batch-build time (before any update this call),
+            # matching the reference's pre-loop masks_new (ref `:174-178`)
+            is_new = s["is_new"]
+            keep = is_new & (~reject[sl])
+            p0, p1 = pts[0, sl][keep], pts[1, sl][keep]
+            f0, f1 = finish[0, sl][keep], finish[1, sl][keep]
+            diff = np.linalg.norm(p0 - p1, axis=-1)
+            pts_avg = (p0 + p1) / 2
+            acc = (diff <= threshold) | (f0 & f1)
+            if verbose:
+                print(f"the new triangulation ratio:{acc.sum()}/{len(acc)}")
+            kidx_new = s["kidx_new"][keep][acc]
+            kidx_src = s["kidx_src"][keep][acc]
+            cam_new_pos, cam_src_pos = s["cam_pair"]
+            tracks = [[(cam_new_pos, int(a)), (cam_src_pos, int(b))]
+                      for a, b in zip(kidx_new, kidx_src)]
+            if len(tracks):
+                idx = pointset.add_points(pts_avg[acc], tracks)
+                self.cameraset.cameras[cam_new_pos].idx2d_to_3d[kidx_new] = idx
+                self.cameraset.cameras[cam_src_pos].idx2d_to_3d[kidx_src] = idx
+            off += s["n"]

@@ -1,0 +1,58 @@
+"""CLI entry: python train.py --yaml=configs/<cfg>.yaml [--key.sub=val ...]
+
+Equivalent of the reference `train.py` + `utils/options.py` CLI surface:
+dot-path overrides, `--flag` / `--flag!` booleans, `--resume`, `--load`,
+`--get_result`. The pipeline is the incremental LevelSfM engine.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+
+def build_var(opt):
+    """Load the prepared scene (keypoints/matches/pose graph + images)."""
+    dataset = opt.data.get("dataset")
+    if dataset == "synthetic":
+        from level_s2fm_tpu.data import synthetic
+        scene = synthetic.make_scene(
+            n_views=int(opt.data.get("n_views", 4)),
+            H=opt.data.image_size[0], W=opt.data.image_size[1],
+            n_points=int(opt.data.get("n_points", 256)),
+            seed=int(opt.get("seed", 0)))
+        return synthetic.scene_to_var(scene)
+    from level_s2fm_tpu.data import loaders
+    return loaders.load_prepared_scene(opt)
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    from level_s2fm_tpu.config import build_options
+    opt = build_options(argv)
+    if opt.get("cpu", False):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from level_s2fm_tpu.sfm.pipeline import LevelSfM
+
+    os.makedirs(opt.output_path, exist_ok=True)
+    model = LevelSfM(opt, seed=int(opt.get("seed", 0)))
+    model.load_data(build_var(opt))
+    if opt.get("resume", False):
+        model.restore_checkpoint()
+    elif opt.get("load", None):
+        model.restore_checkpoint(opt.load)
+
+    if opt.get("get_result", False):
+        from level_s2fm_tpu.utils import export
+        model._reload_scene()
+        export.export_results(opt, model)
+        return model
+
+    max_views = opt.get("max_views", None)
+    model.train(max_views=int(max_views) if max_views else None)
+    return model
+
+
+if __name__ == "__main__":
+    main()
