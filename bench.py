@@ -1,0 +1,125 @@
+"""Benchmark: fwd+bwd volumetric-render training step throughput (rays/s).
+
+Runs the flagship hot path — VolSDF render of the hash-grid SDF + radiance
+fields (128 samples/ray, reference live config) with gradients w.r.t. all
+field parameters — on the default JAX backend (the real TPU chip under the
+driver). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+
+vs_baseline is measured against the value recorded in BENCH_BASELINE.json
+(written on first run), so cross-round progress is visible.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+QUICK = "--quick" in sys.argv
+CPU = "--cpu" in sys.argv
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+
+
+def main():
+    if CPU:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from level_s2fm_tpu.config import Opt
+    from level_s2fm_tpu.fields import radiance as radf, sdf as sdf_mod
+    from level_s2fm_tpu.rendering import renderer as ren_mod
+
+    n_rays = 1024 if QUICK else 8192
+    sample_intvs = 64 if QUICK else 128
+
+    opt = Opt({
+        "Res": 100,
+        "Ablate_config": {"dual_field": False},
+        "SDF": {"arch": {"layers": [None, 64, 16], "skip": []},
+                "NN_Init": {"scale_mlp": 1, "bias": 0.5, "tf_init": True},
+                "VolSDF": {"sample_intvs": sample_intvs, "final_sample_intvs": 64,
+                           "volsdf_sampling": False, "max_upsample_iter": 6,
+                           "iters_max_st": 10, "eps": 0.1, "beta_init": 0.05,
+                           "rescale": 1.0, "beta_speed": 1.0, "sdf_threshold": 1e-3},
+                "Hash_config": {}},
+        "RadF": {"arch": {"layers": [None, 64, 64, 3], "skip": []}},
+        "data": {"bound_min": [-1, -1, -1], "bound_max": [1, 1, 1],
+                 "inside": True, "bg_sdf": None, "bg_rad": 2.0,
+                 "scene": "bench", "bgcolor": [0, 0, 0]},
+    })
+    sdf_cfg = sdf_mod.config_from_opt(opt)
+    rad_cfg = radf.config_from_opt(opt)
+    ren_cfg = ren_mod.config_from_opt(opt)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {"sdf": sdf_mod.init_params(k1, sdf_cfg),
+              "rad": radf.init_params(k2, rad_cfg)}
+
+    rng = np.random.default_rng(0)
+    center = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -2.0]), (1, n_rays, 3))
+    ray = jnp.asarray(np.concatenate(
+        [rng.normal(size=(1, n_rays, 2)) * 0.15, np.ones((1, n_rays, 1))],
+        axis=-1).astype(np.float32))
+    rgb_gt = jnp.asarray(rng.uniform(0, 1, size=(1, n_rays, 3)).astype(np.float32))
+
+    def loss_fn(params):
+        out = ren_mod.render(params["sdf"], sdf_cfg, params["rad"], rad_cfg,
+                             ren_cfg, center, ray)
+        n = jnp.linalg.norm(out["normals"], axis=-1)
+        return (jnp.mean(jnp.abs(out["rgb"] - rgb_gt))
+                + 0.1 * jnp.mean(jnp.abs(n - 1.0)))
+
+    iters = 3 if QUICK else 10
+
+    @jax.jit
+    def run_steps(params):
+        # scan the steps inside one device program so the measurement is
+        # device throughput, not host->device dispatch latency (the axon
+        # tunnel adds ~100ms+ per call)
+        def body(acc, _):
+            val, grads = jax.value_and_grad(loss_fn)(params)
+            gnorm = sum(jnp.sum(jnp.abs(g))
+                        for g in jax.tree_util.tree_leaves(grads))
+            return acc + val + 1e-12 * gnorm, None
+
+        acc, _ = jax.lax.scan(body, 0.0, None, length=iters)
+        return acc
+
+    out = run_steps(params)  # compile + warmup
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = run_steps(params)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    rays_per_s = n_rays * iters / dt
+
+    cfg_key = f"rays_per_s_{n_rays}x{sample_intvs}"
+    record = {}
+    if os.path.exists(BASELINE_FILE):
+        try:
+            with open(BASELINE_FILE) as f:
+                record = json.load(f)
+        except Exception:
+            record = {}
+    baseline = record.get(cfg_key)
+    if baseline is None:
+        record[cfg_key] = baseline = rays_per_s
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(record, f)
+
+    print(json.dumps({
+        "metric": "render_train_step_rays_per_s",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

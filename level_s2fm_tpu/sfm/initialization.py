@@ -147,6 +147,8 @@ class Initializer:
 
     def run(self, params, key, verbose: bool = True):
         """Optimize fields, triangulate, seed the point set. Returns params."""
+        if self.opt.Ablate_config.get("tri_trad", False):
+            return self.run_trad(params, key, verbose=verbose)
         state = self.phase.init_state(params)
         state, metrics = self.phase.run(state, self.batch, key)
         params = state["params"]
@@ -160,6 +162,41 @@ class Initializer:
         self._triangulate_host(np.asarray(pts_surface), np.asarray(finish))
         self.cameraset.eval_poses(verbose=verbose)
         self._metrics = metrics
+        return params
+
+    def run_trad(self, params, key, verbose: bool = True):
+        """tri_trad ablation: DLT triangulation, then SDF post-fit
+        (ref `Initialization_Trad.py:91-99,161-183`)."""
+        import jax
+        from . import hostgeom
+        from .trad import fit_sdf_to_points
+        cam0, cam1 = self.cameraset.cameras[0], self.cameraset.cameras[1]
+        kp0 = cam0.kypts[self.kp_idx0]
+        kp1 = cam1.kypts[self.kp_idx1]
+        P0 = cam0.intr @ cam0.pose()
+        P1 = cam1.intr @ cam1.pose()
+        X = hostgeom.triangulate_dlt(kp0, kp1, P0, P1)
+        # cheirality + bounds filter
+        Xc0 = X @ cam0.pose()[:, :3].T + cam0.pose()[:, 3]
+        Xc1 = X @ cam1.pose()[:, :3].T + cam1.pose()[:, 3]
+        bmax = np.asarray(self.opt.data.bound_max, np.float32)
+        bmin = np.asarray(self.opt.data.bound_min, np.float32)
+        mask = ((Xc0[:, 2] > 0) & (Xc1[:, 2] > 0)
+                & np.all(X < bmax, -1) & np.all(X > bmin, -1))
+        print(f"Triangulation ratio {mask.sum()}/{len(mask)}")
+        kp_idx = np.stack([self.kp_idx0, self.kp_idx1], 0)[:, mask]
+        tracks = [[(0, int(kp_idx[0, j])), (1, int(kp_idx[1, j]))]
+                  for j in range(kp_idx.shape[1])]
+        idx = self.pointset.add_points(X[mask], tracks)
+        cam0.idx2d_to_3d[kp_idx[0]] = idx
+        cam1.idx2d_to_3d[kp_idx[1]] = idx
+
+        # SDF post-fit to the triangulated cloud
+        c = np.asarray(self.batch["center_k"])[0, :self._n_kp][mask]
+        r = np.asarray(self.batch["ray_k"])[0, :self._n_kp][mask]
+        params = fit_sdf_to_points(self.opt, self.cfgs, params, X[mask], c, r,
+                                   jax.random.fold_in(key, 3), max_iter=200)
+        self.cameraset.eval_poses(verbose=verbose)
         return params
 
     def _triangulate_host(self, pts_surface, finish):

@@ -30,6 +30,7 @@ import optax
 from ..fields import radiance as radf
 from ..fields import sdf as sdf_mod
 from ..geometry import lie, transforms as T
+from ..parallel import mesh as pmesh
 from ..rendering import renderer as ren_mod
 from . import losses as L
 from . import optim as optim_mod
@@ -82,6 +83,10 @@ def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
     grid_sel = grid[rays_idx]
     centers, rays = T.get_center_and_ray(poses, intr, grid_sel)   # [C,R,3]
     rgbs_gt = images[:, rays_idx]                                  # [C,R,3]
+    # shard the ray batch over the data mesh (no-op single-device)
+    centers = pmesh.constrain(centers, axis=1)
+    rays = pmesh.constrain(rays, axis=1)
+    rgbs_gt = pmesh.constrain(rgbs_gt, axis=1)
 
     out = {}
     # tracing-consistency loss on a random camera's tracked keypoints
@@ -444,6 +449,7 @@ class BAPhase:
         thr = cfgs.sdf.finish_threshold
         se3 = jnp.concatenate([params["se3_r"], params["se3_t"]], axis=1)  # [C,6]
 
+        xyzs = pmesh.constrain(xyzs, axis=0)  # track points sharded over mesh
         xyzs_new, normals_value = sdf_mod.get_surface_pts(params["sdf"], cfgs.sdf, xyzs)
         sdfs = sdf_mod.infer_sdf(params["sdf"], cfgs.sdf, xyzs_new)        # [P,1]
         poses_fwd = lie.se3_to_SE3(se3[batch["pose_idx"]])                 # [P,3,4]

@@ -169,6 +169,16 @@ class LevelSfM:
                                    self.next_key(), verbose=verbose)
         src_cam_id = reg.src_cam_id
 
+        if opt.Ablate_config.get("ba_trad", False):
+            # classic BA ablation: local then global, reprojection only
+            from .trad import TradBundler
+            for pick in ([new_id] + src_cam_id, None):
+                b = TradBundler(opt, self.cfgs, self.camera_set, self.point_set,
+                                cam_pick_ids=pick)
+                self.params, _ = b.run(self.params, self.next_key(), verbose)
+                self.camera_set.eval_poses(verbose=verbose)
+            return True
+
         full = opt.get("sfm_mode", "full") == "full"
         if full:
             # reproj+rendering registration refine on the new cam (<=1 cycle)

@@ -66,7 +66,10 @@ class Registration:
             return False, 0.0, len(p3d)
         sdfs = np.asarray(sdf_mod.infer_sdf(params["sdf"], self.cfgs.sdf,
                                             jnp.asarray(p3d)))[:, 0]
-        mask = sdfs < 0.05
+        # ba_trad ablation widens the gate to a no-op (ref
+        # `Registration_Trad.py:86-93`)
+        gate = 5000.0 if self.opt.Ablate_config.get("ba_trad", False) else 0.05
+        mask = sdfs < gate
         p3d_m, p2d_m = p3d[mask], p2d[mask]
         res = hostgeom.pnp_ransac(p2d_m, p3d_m, camera_new.intr, max_error_px=3.0)
         if not res.success:
@@ -97,11 +100,67 @@ class Registration:
         return (np.asarray(c[0]), np.asarray(r[0]),
                 cam_with.kypts[other_idx].astype(np.float32), self_idx)
 
+    def geo_init_trad(self, params, camera_new: entities.Camera,
+                      pointset: entities.PointSet, key, verbose=True,
+                      reproj_max: float = 8.0):
+        """tri_trad ablation: DLT triangulation of new observations
+        (ref `Registration_Trad.py:216-261`), optional SDF post-fit."""
+        from .trad import fit_sdf_to_points
+        new_pos = self.cameraset.index_of(camera_new.id)
+        all_new_pts, all_c, all_r = [], [], []
+        for src_id in self.src_cam_id:
+            cam_i = self.cameraset(src_id)
+            kn, ko = camera_new.matched_kypt_ids(src_id)
+            is_new = camera_new.idx2d_to_3d[kn] == -1
+            if is_new.sum() == 0:
+                continue
+            kn, ko = kn[is_new], ko[is_new]
+            kp_n = camera_new.kypts[kn]
+            kp_s = cam_i.kypts[ko]
+            P_n = camera_new.intr @ camera_new.pose()
+            P_s = cam_i.intr @ cam_i.pose()
+            X = hostgeom.triangulate_dlt(kp_n, kp_s, P_n, P_s)
+            uv_n, z_n = T.project_points(jnp.asarray(X)[None],
+                                         jnp.asarray(camera_new.pose())[None],
+                                         jnp.asarray(camera_new.intr)[None])
+            uv_s, z_s = T.project_points(jnp.asarray(X)[None],
+                                         jnp.asarray(cam_i.pose())[None],
+                                         jnp.asarray(cam_i.intr)[None])
+            re_n = np.linalg.norm(np.asarray(uv_n)[0] - kp_n, axis=-1)
+            re_s = np.linalg.norm(np.asarray(uv_s)[0] - kp_s, axis=-1)
+            ok = ((re_n < reproj_max) & (re_s < reproj_max)
+                  & (np.asarray(z_n)[0, :, 0] > 0) & (np.asarray(z_s)[0, :, 0] > 0))
+            if verbose:
+                print(f"the new triangulation ratio:{ok.sum()}/{len(ok)}")
+            if ok.sum() == 0:
+                continue
+            tracks = [[(new_pos, int(a)), (self.cameraset.index_of(src_id), int(b))]
+                      for a, b in zip(kn[ok], ko[ok])]
+            idx = pointset.add_points(X[ok], tracks)
+            camera_new.idx2d_to_3d[kn[ok]] = idx
+            self.cameraset(src_id).idx2d_to_3d[ko[ok]] = idx
+            all_new_pts.append(X[ok])
+            c, r = T.get_center_and_ray(jnp.asarray(camera_new.pose())[None],
+                                        jnp.asarray(camera_new.intr),
+                                        jnp.asarray(camera_new.kypts[kn[ok]],
+                                                    jnp.float32))
+            all_c.append(np.asarray(c[0]))
+            all_r.append(np.asarray(r[0]))
+        if all_new_pts and not self.opt.Ablate_config.get("ba_trad", False):
+            X = np.concatenate(all_new_pts)
+            params = fit_sdf_to_points(self.opt, self.cfgs, params, X,
+                                       np.concatenate(all_c),
+                                       np.concatenate(all_r), key, max_iter=100)
+        return params
+
     def geo_init(self, params, camera_new: entities.Camera,
                  pointset: entities.PointSet, key, verbose=True,
                  reproj_max: float = 15.0):
         """SDF-based triangulation of new observations (ref `:133-303`)."""
         opt = self.opt
+        if opt.Ablate_config.get("tri_trad", False):
+            return self.geo_init_trad(params, camera_new, pointset, key,
+                                      verbose=verbose)
         segs = []
         for src_id in self.src_cam_id:
             cam_i = self.cameraset(src_id)

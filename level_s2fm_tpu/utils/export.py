@@ -1,0 +1,133 @@
+"""Result export: meshes, point clouds, camera frusta, rendered views.
+
+Equivalent surface of the reference's artifact dumping
+(`pipelines/base.py:131-284` vis_geo_rgb/vis_all_rgb,
+`utils/plots.py:140-223` get_surface_high_res_mesh,
+`utils/util.py:392-430` extract_mesh): per-view PLY point clouds, SDF
+zero-set meshes via marching tetrahedra, camera JSONs compatible with the
+viewer app, and sliced full-image renders.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import sdf as sdf_mod
+from ..geometry import lie, transforms as T
+from ..rendering import renderer as ren_mod
+from . import marching_cubes as mc
+
+
+def extract_mesh(params, sdf_cfg, path: str, resolution: int = 256,
+                 grid_boundary=(-1.0, 1.0), level: float = 0.0,
+                 chunk: int = 65536):
+    """Marching-tetrahedra mesh of the SDF zero set (ref `plots.py:140`)."""
+    lo, hi = grid_boundary
+    xs = np.linspace(lo, hi, resolution, dtype=np.float32)
+    grid = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1).reshape(-1, 3)
+    sdf_fn = jax.jit(lambda p: sdf_mod.infer_sdf(params["sdf"], sdf_cfg, p)[..., 0])
+    vals = []
+    for i in range(0, grid.shape[0], chunk):
+        vals.append(np.asarray(sdf_fn(jnp.asarray(grid[i:i + chunk]))))
+    vol = np.concatenate(vals).reshape(resolution, resolution, resolution)
+    spacing = (hi - lo) / (resolution - 1)
+    verts, faces = mc.marching_cubes(vol, level=level, origin=(lo, lo, lo),
+                                     spacing=(spacing,) * 3)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    mc.write_ply(path, verts, faces)
+    return verts, faces
+
+
+def export_pointcloud(pointset, path: str):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    mc.write_ply(path, pointset.all_xyzs())
+
+
+def export_cameras_json(cameraset, path: str, img_hw=None):
+    """Viewer-compatible camera dump (ref `pipelines/base.py:156-196`)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cams = []
+    for cam in cameraset.cameras:
+        pose = cam.pose()
+        cams.append({
+            "id": int(cam.id),
+            "K": cam.intr.tolist(),
+            "W2C": pose.tolist(),
+            "img_size": list(img_hw or cam.img.shape[:2]),
+        })
+    with open(path, "w") as f:
+        json.dump(cams, f)
+
+
+def render_full_image(params, cfgs, pose, intr, H: int, W: int,
+                      ray_batch: int = 8192):
+    """Sliced full-image render (ref `Camera.py:274-311`).
+
+    Returns dict with rgb [H,W,3], depth [H,W], normal [H,W,3].
+    """
+    grid = T.mesh_grid(H, W)
+    center, ray = T.get_center_and_ray(jnp.asarray(pose)[None],
+                                       jnp.asarray(intr), grid)
+    render_fn = jax.jit(lambda c, r: ren_mod.render(
+        params["sdf"], cfgs.sdf, params["rad"], cfgs.rad, cfgs.ren, c, r))
+    rgbs, deps, nrms = [], [], []
+    n = center.shape[1]
+    for i in range(0, n, ray_batch):
+        end = min(i + ray_batch, n)
+        # pad the tail chunk to the bucket so jit compiles once
+        c = center[:, i:end]
+        r = ray[:, i:end]
+        pad = ray_batch - (end - i)
+        if pad:
+            c = jnp.concatenate([c, jnp.repeat(c[:, -1:], pad, axis=1)], axis=1)
+            r = jnp.concatenate([r, jnp.repeat(r[:, -1:], pad, axis=1)], axis=1)
+        out = render_fn(c, r)
+        rgbs.append(np.asarray(out["rgb"][0, :end - i]))
+        deps.append(np.asarray(out["depth_mlp"][0, :end - i, 0]))
+        nrms.append(np.asarray(out["normal_mlp"][0, :end - i]))
+    return {"rgb": np.concatenate(rgbs).reshape(H, W, 3),
+            "depth": np.concatenate(deps).reshape(H, W),
+            "normal": np.concatenate(nrms).reshape(H, W, 3)}
+
+
+def render_novel_views(params, cfgs, anchor_pose, intr, H, W, n_views=60,
+                       scale=0.1, out_dir: Optional[str] = None):
+    """Novel-view trajectory render (ref `Camera.py:313-341`)."""
+    poses = T.get_novel_view_poses(jnp.asarray(anchor_pose), N=n_views, scale=scale)
+    frames = []
+    for i in range(n_views):
+        out = render_full_image(params, cfgs, np.asarray(poses[i]), intr, H, W)
+        frames.append(out["rgb"])
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            import imageio.v2 as imageio
+            imageio.imwrite(os.path.join(out_dir, f"{i}.png"),
+                            (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8))
+    return np.stack(frames)
+
+
+def export_results(opt, model, resolution: int = 256):
+    """`--get_result` path: mesh + point cloud + cameras + a rendered view
+    (ref `LevelS2fM.py:207-232`)."""
+    out = opt.output_path
+    mesh_dir = os.path.join(out, "mesh")
+    os.makedirs(mesh_dir, exist_ok=True)
+    extract_mesh(model.params, model.sdf_cfg,
+                 os.path.join(mesh_dir, "high_res.ply"), resolution=resolution,
+                 grid_boundary=(-0.6, 0.6))
+    export_pointcloud(model.point_set, os.path.join(out, "pointcloud.ply"))
+    export_cameras_json(model.camera_set, os.path.join(out, "cameras.json"))
+    if len(model.camera_set):
+        cam0 = model.camera_set.cameras[0]
+        img = render_full_image(model.params, model.cfgs, cam0.pose(), cam0.intr,
+                                model.cfgs.H, model.cfgs.W)
+        import imageio.v2 as imageio
+        imageio.imwrite(os.path.join(out, "render_cam0.png"),
+                        (np.clip(img["rgb"], 0, 1) * 255).astype(np.uint8))
+    print(f"results exported to {out}")

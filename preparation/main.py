@@ -1,0 +1,210 @@
+"""Offline preprocessing: keypoints, all-pairs matches, pose graph.
+
+Produces the artifacts the pipeline consumes (same format as the
+reference's `preparation/main.py:177-247`):
+  * ``n_views.npy``  — per image dict {kypts [K,2], indxes (list of [M,2]
+    per other image), mask (list of [M] bool inlier masks)}
+  * ``pose_graph.npy`` — image registration order
+  * ``two_view.npy``  — per-pair relative two-view info
+
+Two backends:
+  * ``--backend=colmap`` runs the COLMAP binary (feature_extractor /
+    exhaustive_matcher / mapper), reads keypoints+matches from the
+    SQLite database and the registration order from the mapper output —
+    the reference's flow.
+  * ``--backend=sift`` (default when no colmap binary): cv2 SIFT +
+    ratio-test BF matching + essential-matrix RANSAC inlier masks and a
+    match-count-greedy pose graph — fully standalone.
+
+Usage: python preparation/main.py --data data/DTU --scene scan24 \
+           [--backend=sift|colmap] [--max_kypts=8192]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def find_images_dir(scene_dir: str) -> str:
+    for cand in ("images", "color"):
+        d = os.path.join(scene_dir, cand)
+        if os.path.isdir(d):
+            return d
+    inner = os.path.join(scene_dir, os.path.basename(scene_dir), "images")
+    if os.path.isdir(inner):
+        return inner
+    raise FileNotFoundError(f"no images/ under {scene_dir}")
+
+
+# --------------------------------------------------------------------- SIFT
+def run_sift_backend(scene_dir: str, max_kypts: int = 8192, ratio: float = 0.8):
+    import cv2
+    from level_s2fm_tpu.data.base import sorted_images
+    img_dir = find_images_dir(scene_dir)
+    fnames = sorted_images(img_dir)
+    n = len(fnames)
+    sift = cv2.SIFT_create(nfeatures=max_kypts)
+    kypts, descs = [], []
+    for f in fnames:
+        img = cv2.imread(f, cv2.IMREAD_GRAYSCALE)
+        kp, de = sift.detectAndCompute(img, None)
+        kypts.append(np.asarray([k.pt for k in kp], np.float32))
+        descs.append(de)
+        print(f"[sift] {os.path.basename(f)}: {len(kp)} keypoints")
+
+    bf = cv2.BFMatcher(cv2.NORM_L2)
+    pair_matches = {}
+    match_counts = np.zeros((n, n), np.int64)
+    for i in range(n):
+        for j in range(i + 1, n):
+            raw = bf.knnMatch(descs[i], descs[j], k=2)
+            good = [m for m, m2 in raw if m.distance < ratio * m2.distance]
+            if len(good) < 8:
+                m = np.zeros((0, 2), np.int64)
+                mask = np.zeros(0, bool)
+            else:
+                m = np.asarray([[g.queryIdx, g.trainIdx] for g in good], np.int64)
+                p0 = kypts[i][m[:, 0]]
+                p1 = kypts[j][m[:, 1]]
+                F, fmask = cv2.findFundamentalMat(p0, p1, cv2.FM_RANSAC, 2.0, 0.999)
+                mask = (fmask[:, 0].astype(bool) if fmask is not None
+                        else np.ones(len(m), bool))
+            pair_matches[(i, j)] = (m, mask)
+            match_counts[i, j] = match_counts[j, i] = int(mask.sum())
+            print(f"[match] {i}-{j}: {len(m)} matches, {int(mask.sum())} inliers")
+
+    pose_graph = greedy_pose_graph(match_counts)
+    return kypts, pair_matches, pose_graph
+
+
+def greedy_pose_graph(match_counts: np.ndarray):
+    """Seed with the best pair, then repeatedly add the view most
+    connected to the registered set (a simple stand-in for COLMAP's
+    next-best-view order)."""
+    n = match_counts.shape[0]
+    if n == 1:
+        return [0]
+    off_diag = match_counts - np.diag(np.full(n, np.iinfo(np.int64).max // 2))
+    i, j = np.unravel_index(np.argmax(off_diag), off_diag.shape)
+    if i == j:  # no matches anywhere: fall back to index order
+        return list(range(n))
+    order = [int(i), int(j)]
+    while len(order) < n:
+        remaining = [k for k in range(n) if k not in order]
+        scores = [match_counts[k, order].sum() for k in remaining]
+        order.append(int(remaining[int(np.argmax(scores))]))
+    return order
+
+
+# ------------------------------------------------------------------- COLMAP
+def run_colmap_backend(scene_dir: str, colmap_bin: str = "colmap"):
+    from preparation.colmap_db import ColmapDatabase
+    from preparation.colmap_model import read_images
+    img_dir = find_images_dir(scene_dir)
+    work = os.path.join(scene_dir, "colmap_ws")
+    os.makedirs(work, exist_ok=True)
+    db_path = os.path.join(work, "database.db")
+    sparse = os.path.join(work, "sparse")
+    os.makedirs(sparse, exist_ok=True)
+    if not os.path.exists(db_path):
+        subprocess.run([colmap_bin, "feature_extractor", "--database_path", db_path,
+                        "--image_path", img_dir,
+                        "--ImageReader.single_camera", "1"], check=True)
+        subprocess.run([colmap_bin, "exhaustive_matcher",
+                        "--database_path", db_path], check=True)
+        subprocess.run([colmap_bin, "mapper", "--database_path", db_path,
+                        "--image_path", img_dir, "--output_path", sparse],
+                       check=True)
+
+    db = ColmapDatabase(db_path)
+    names = db.image_names()
+    name_order = sorted(names.items(), key=lambda kv: kv[1])
+    id_to_idx = {img_id: idx for idx, (img_id, _) in enumerate(name_order)}
+    kypts_by_id = db.keypoints()
+    n = len(name_order)
+    kypts = [kypts_by_id[img_id] for img_id, _ in name_order]
+    tvg = db.two_view_geometries()
+    raw = db.matches()
+    pair_matches = {}
+    for (id1, id2), m in raw.items():
+        i, j = id_to_idx[id1], id_to_idx[id2]
+        if i > j:
+            i, j = j, i
+            m = m[:, ::-1]
+        inl = tvg.get((id1, id2))
+        if inl is not None and len(inl):
+            inl_set = {(a, b) for a, b in inl}
+            mask = np.asarray([(a, b) in inl_set for a, b in m], bool)
+        else:
+            mask = np.zeros(len(m), bool)
+        pair_matches[(i, j)] = (m.astype(np.int64), mask)
+    db.close()
+
+    # registration order from the mapper's reconstruction
+    model_dir = os.path.join(sparse, "0")
+    imgs = read_images(model_dir)
+    reg_ids = sorted(imgs.keys())
+    pose_graph = [id_to_idx[i] for i in reg_ids if i in id_to_idx]
+    pose_graph += [k for k in range(n) if k not in pose_graph]
+    return kypts, pair_matches, pose_graph
+
+
+# ------------------------------------------------------------------- output
+def write_artifacts(out_dir: str, kypts, pair_matches, pose_graph):
+    n = len(kypts)
+    n_views = []
+    for i in range(n):
+        indxes, masks = [], []
+        for j in range(n):
+            if j == i:
+                continue
+            a, b = (i, j) if i < j else (j, i)
+            m, mask = pair_matches.get((a, b), (np.zeros((0, 2), np.int64),
+                                                np.zeros(0, bool)))
+            if i > j:
+                m = m[:, ::-1]
+            indxes.append(np.asarray(m))
+            masks.append(np.asarray(mask))
+        n_views.append({"kypts": np.asarray(kypts[i]),
+                        "indxes": indxes, "mask": masks})
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "n_views.npy"),
+            np.asarray(n_views, dtype=object), allow_pickle=True)
+    np.save(os.path.join(out_dir, "pose_graph.npy"),
+            np.asarray(pose_graph), allow_pickle=True)
+    two_view = {"pairs": sorted(pair_matches.keys()),
+                "counts": {k: int(v[1].sum()) for k, v in pair_matches.items()}}
+    np.save(os.path.join(out_dir, "two_view.npy"),
+            np.asarray([two_view], dtype=object), allow_pickle=True)
+    print(f"wrote n_views.npy / pose_graph.npy / two_view.npy to {out_dir}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True, help="dataset root, e.g. data/DTU")
+    ap.add_argument("--scene", required=True)
+    ap.add_argument("--backend", default="auto", choices=["auto", "colmap", "sift"])
+    ap.add_argument("--max_kypts", type=int, default=8192)
+    args = ap.parse_args()
+
+    scene_dir = os.path.join(args.data, args.scene)
+    backend = args.backend
+    if backend == "auto":
+        backend = "colmap" if shutil.which("colmap") else "sift"
+        print(f"[prep] backend: {backend}")
+    if backend == "colmap":
+        kypts, pair_matches, pose_graph = run_colmap_backend(scene_dir)
+    else:
+        kypts, pair_matches, pose_graph = run_sift_backend(scene_dir, args.max_kypts)
+    write_artifacts(scene_dir, kypts, pair_matches, pose_graph)
+
+
+if __name__ == "__main__":
+    main()
