@@ -22,11 +22,26 @@ def _lib_path() -> str:
     return os.path.join(here, "native", "libminigeom.so")
 
 
+def _try_build():
+    """Build the shared library on demand (g++, no external deps)."""
+    import subprocess
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "native", "build.sh")
+    try:
+        subprocess.run(["sh", script], capture_output=True, timeout=120,
+                       check=True)
+        return True
+    except Exception:
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB
     if _LIB is not None:
         return _LIB
     path = _lib_path()
+    if not os.path.exists(path) and not _try_build():
+        return None
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)
