@@ -136,11 +136,49 @@ def infer_all(params, cfg: SDFConfig, xyz: jnp.ndarray):
     return sdf, feat
 
 
+def infer_all_with_normal(params, cfg: SDFConfig, xyz: jnp.ndarray):
+    """(sdf [...,1], feat [...,D], normal [...,3]) in ONE hash-gather pass.
+
+    The normal is assembled from the encode's analytic spatial Jacobian
+    (`hashgrid.embed_with_grad`) chained through a single MLP vjp — this
+    replaces the reference's double-backward normals (`models/SDF.py:102-114`)
+    with a formulation whose memory traffic is one gather instead of three.
+    All ops are plain jnp, so the outer loss can differentiate through it
+    (eikonal-in-BA second order works).
+    """
+    enc, denc = hashgrid.embed_with_grad(params["table"], xyz, cfg.grid,
+                                         cfg.bound_min, cfg.bound_max,
+                                         rescale=cfg.rescale)
+    sign = 1.0 if cfg.inside else -1.0
+
+    def feat_and_sdf(e):
+        f = mlp.apply_geometry_mlp(params["mlp"], e, skip=cfg.skip)
+        return sign * f[..., :1] / cfg.scale_mlp, f
+
+    (sdf_raw, feat), vjp_fn = jax.vjp(feat_and_sdf, enc, has_aux=False)
+    cot = (jnp.ones_like(sdf_raw), jnp.zeros_like(feat))
+    dsdf_denc = vjp_fn(cot)[0]                                     # [...,D]
+    normal = jnp.einsum("...d,...dj->...j", dsdf_denc, denc)
+
+    sdf = sdf_raw
+    if cfg.inside and cfg.bg_sdf:
+        r = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+        bg = cfg.bg_rad - r
+        take_bg = bg < sdf_raw
+        sdf = jnp.where(take_bg, bg, sdf_raw)
+        bg_normal = -xyz / jnp.maximum(r, 1e-12)
+        normal = jnp.where(take_bg, bg_normal, normal)
+    return sdf, feat, normal
+
+
 def gradient(params, cfg: SDFConfig, xyz: jnp.ndarray) -> jnp.ndarray:
-    """Spatial SDF gradient (normals); differentiable again for eikonal-in-BA."""
-    def sdf_sum(p):
-        return infer_sdf(params, cfg, p).sum()
-    return jax.grad(sdf_sum)(xyz)
+    """Spatial SDF gradient (normals); differentiable again for eikonal-in-BA.
+
+    Uses the fused analytic path (one gather pass; see
+    ``infer_all_with_normal``).
+    """
+    _, _, normal = infer_all_with_normal(params, cfg, xyz)
+    return normal
 
 
 def forward_ab(params, cfg: SDFConfig):

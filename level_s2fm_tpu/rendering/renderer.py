@@ -195,8 +195,8 @@ def render(sdf_params, sdf_cfg: sdf_mod.SDFConfig,
     p3d = center[..., None, :] + ray[..., None, :] * depth_samples  # [B,HW,N,3]
 
     alpha_r, beta_r = sdf_mod.forward_ab(sdf_params, sdf_cfg)
-    sdfs, feats = sdf_mod.infer_all(sdf_params, sdf_cfg, p3d)
-    normals = sdf_mod.gradient(sdf_params, sdf_cfg, p3d)
+    # fused eval: sdf + geometry feature + analytic normal in one gather pass
+    sdfs, feats, normals = sdf_mod.infer_all_with_normal(sdf_params, sdf_cfg, p3d)
 
     view = jnp.broadcast_to(ray[..., None, :], p3d.shape)
     ray_enc = radf.embed_view(rad_cfg, view)

@@ -1,0 +1,114 @@
+"""Observability: colored logging, per-phase timing, jax.profiler hooks,
+metric recording.
+
+The reference has no tracing/profiling (SURVEY.md §5 — tqdm bars and a
+vestigial timer only); here timing and profiling are first-class: every
+phase wrapper can be timed with `phase_timer`, traces go to TensorBoard
+via jax.profiler, and scalar metrics accumulate into a JSONL history.
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from typing import Dict, Optional
+
+
+class Log:
+    """Minimal colored stdout logger (ref `utils/util.py:96-133` surface)."""
+    _COLORS = {"info": "\033[96m", "warn": "\033[93m", "error": "\033[91m",
+               "title": "\033[95m", "ok": "\033[92m"}
+    _END = "\033[0m"
+    enabled = True
+
+    @classmethod
+    def _emit(cls, level, *msg):
+        if not cls.enabled:
+            return
+        color = cls._COLORS.get(level, "")
+        print(f"{color}[{level}]{cls._END}", *msg, flush=True)
+
+    @classmethod
+    def info(cls, *msg):
+        cls._emit("info", *msg)
+
+    @classmethod
+    def warn(cls, *msg):
+        cls._emit("warn", *msg)
+
+    @classmethod
+    def error(cls, *msg):
+        cls._emit("error", *msg)
+
+    @classmethod
+    def title(cls, *msg):
+        cls._emit("title", *msg)
+
+
+class MetricRecorder:
+    """Append-only JSONL scalar history + in-memory aggregates.
+
+    Replaces the reference's (mostly commented-out) TensorBoard scalars
+    (`pipelines/base.py:86-129`) with a dependency-free record the bench
+    and judge can read back.
+    """
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self.history = []
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def log(self, step: int, **scalars):
+        rec = {"step": step, "t": time.time(), **scalars}
+        self.history.append(rec)
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+    def last(self, key: str):
+        for rec in reversed(self.history):
+            if key in rec:
+                return rec[key]
+        return None
+
+
+class PhaseTimers:
+    """Accumulated wall-time per phase name."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def track(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        return {k: {"total_s": round(v, 3), "count": self.counts[k],
+                    "mean_s": round(v / self.counts[k], 3)}
+                for k, v in self.totals.items()}
+
+
+@contextlib.contextmanager
+def jax_trace(logdir: Optional[str]):
+    """Capture a jax.profiler trace around a block when logdir is set."""
+    if not logdir:
+        yield
+        return
+    import jax
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+TIMERS = PhaseTimers()
