@@ -96,9 +96,20 @@ def load_yaml(path: str, default_path: Optional[str] = None) -> dict:
 
 def parse_value(s: str) -> Any:
     try:
-        return yaml.safe_load(s)
+        v = yaml.safe_load(s)
     except Exception:
         return s
+    if isinstance(v, str):
+        # YAML 1.1 won't parse '5e-4' as float (needs '5.0e-4'); fix that up
+        try:
+            return int(v)
+        except ValueError:
+            pass
+        try:
+            return float(v)
+        except ValueError:
+            pass
+    return v
 
 
 def set_dotpath(opt: Opt, dotpath: str, value: Any, strict: bool = True):

@@ -30,6 +30,10 @@ class RendererConfig:
     max_upsample_iter: int = 6
     eps: float = 0.1
     bgcolor: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # process rays in chunks of this size (lax.map + rematerialization):
+    # bounds peak HBM for big batches (8192 rays x 128 samples overflows a
+    # 16 GB chip otherwise). None = single pass.
+    ray_chunk: Optional[int] = 2048
 
 
 def config_from_opt(opt) -> RendererConfig:
@@ -42,6 +46,7 @@ def config_from_opt(opt) -> RendererConfig:
         max_upsample_iter=int(opt.SDF.VolSDF.max_upsample_iter),
         eps=float(opt.SDF.VolSDF.eps),
         bgcolor=tuple(bg),
+        ray_chunk=opt.get("Renderer", {}).get("ray_chunk", 2048),
     )
 
 
@@ -189,8 +194,31 @@ def render(sdf_params, sdf_cfg: sdf_mod.SDFConfig,
     """Full forward render of a ray batch (ref `Renderer.py:51-116`).
 
     center/ray: [B,HW,3]. Returns dict with rgb, sdfs_volume, normals,
-    depth_mlp, normal_mlp, opacity.
+    depth_mlp, normal_mlp, opacity. Large batches are processed in
+    rematerialized chunks (see RendererConfig.ray_chunk).
     """
+    HW = center.shape[1]
+    chunk = cfg.ray_chunk
+    if chunk is not None and HW > chunk and HW % chunk == 0:
+        B = center.shape[0]
+        K = HW // chunk
+        c2 = jnp.swapaxes(center.reshape(B, K, chunk, 3), 0, 1)
+        r2 = jnp.swapaxes(ray.reshape(B, K, chunk, 3), 0, 1)
+
+        def one(cr):
+            return _render_impl(sdf_params, sdf_cfg, rad_params, rad_cfg,
+                                cfg, cr[0], cr[1])
+
+        outs = jax.lax.map(jax.checkpoint(one), (c2, r2))
+        return {k: jnp.swapaxes(v, 0, 1).reshape(B, HW, *v.shape[3:])
+                for k, v in outs.items()}
+    return _render_impl(sdf_params, sdf_cfg, rad_params, rad_cfg, cfg,
+                        center, ray)
+
+
+def _render_impl(sdf_params, sdf_cfg: sdf_mod.SDFConfig,
+                 rad_params, rad_cfg: radf.RadFConfig,
+                 cfg: RendererConfig, center, ray) -> Dict[str, jnp.ndarray]:
     depth_samples = volsdf_sampling(sdf_params, sdf_cfg, cfg, center, ray)[..., None]
     p3d = center[..., None, :] + ray[..., None, :] * depth_samples  # [B,HW,N,3]
 
