@@ -36,8 +36,14 @@ def main():
     from level_s2fm_tpu.fields import radiance as radf, sdf as sdf_mod
     from level_s2fm_tpu.rendering import renderer as ren_mod
 
-    n_rays = 1024 if QUICK else 8192
-    sample_intvs = 64 if QUICK else 128
+    # default sized so the remote compile stays under the driver's budget;
+    # --full measures the reference's 8192-ray batch (chunked rendering)
+    if QUICK:
+        n_rays, sample_intvs = 1024, 64
+    elif "--full" in sys.argv:
+        n_rays, sample_intvs = 8192, 128
+    else:
+        n_rays, sample_intvs = 2048, 128
 
     opt = Opt({
         "Res": 100,

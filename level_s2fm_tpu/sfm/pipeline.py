@@ -21,6 +21,7 @@ from ..fields import radiance as radf
 from ..fields import sdf as sdf_mod
 from ..rendering import renderer as ren_mod
 from ..utils import checkpoint as ckpt_mod
+from ..utils.obs import Log, MetricRecorder, PhaseTimers
 from . import entities
 from .bundle import Bundler, Refiner
 from .initialization import Initializer
@@ -57,6 +58,10 @@ class LevelSfM:
         self.it = 0
         self.cam_info_reloaded = None
         self.pts_info_reloaded = None
+        out = opt.get("output_path", None)
+        self.metrics = MetricRecorder(
+            os.path.join(out, "metrics.jsonl") if out else None)
+        self.timers = PhaseTimers()
 
     # ------------------------------------------------------------ data/ckpt
     def load_data(self, var: Dict):
@@ -159,14 +164,17 @@ class LevelSfM:
         opt = self.opt
         camera_new = self._make_camera(new_id)
         reg = Registration(opt, self.cfgs, self.camera_set)
-        ok, ratio, num = reg.pnp(self.params, camera_new, self.point_set, if_nbv=True)
+        with self.timers.track("pnp"):
+            ok, ratio, num = reg.pnp(self.params, camera_new, self.point_set,
+                                     if_nbv=True)
         self.camera_set.eval_poses(verbose=verbose)
         if not ok:
             print("reconstruct fail")
             return False
         self.camera_set.add(camera_new)
-        self.params = reg.geo_init(self.params, camera_new, self.point_set,
-                                   self.next_key(), verbose=verbose)
+        with self.timers.track("geo_init"):
+            self.params = reg.geo_init(self.params, camera_new, self.point_set,
+                                       self.next_key(), verbose=verbose)
         src_cam_id = reg.src_cam_id
 
         if opt.Ablate_config.get("ba_trad", False):
@@ -192,21 +200,29 @@ class LevelSfM:
         # local BA cycles
         reproj, cycle = 100.0, 0
         while reproj > 1.0 and cycle < 5:
-            b = Bundler(opt, self.cfgs, self.camera_set, self.point_set,
-                        cam_pick_ids=[new_id] + src_cam_id, mode="sfm")
-            self.params, reproj = b.run(self.params, self.next_key(), verbose)
+            with self.timers.track("local_ba"):
+                b = Bundler(opt, self.cfgs, self.camera_set, self.point_set,
+                            cam_pick_ids=[new_id] + src_cam_id, mode="sfm")
+                self.params, reproj = b.run(self.params, self.next_key(), verbose)
             self.camera_set.eval_poses(src_cam_id + [new_id], verbose=verbose)
             cycle += 1
         # global BA cycles
         reproj, cycle = 100.0, 0
         while reproj > 1.0 and cycle < 5:
-            b = Bundler(opt, self.cfgs, self.camera_set, self.point_set, mode="sfm")
-            self.params, reproj = b.run(self.params, self.next_key(), verbose)
+            with self.timers.track("global_ba"):
+                b = Bundler(opt, self.cfgs, self.camera_set, self.point_set,
+                            mode="sfm")
+                self.params, reproj = b.run(self.params, self.next_key(), verbose)
             self.camera_set.eval_poses(verbose=verbose)
             cycle += 1
         if full:
-            r = Refiner(opt, self.cfgs, self.camera_set, self.point_set)
-            self.params = r.run(self.params, self.next_key(), verbose)
+            with self.timers.track("refine"):
+                r = Refiner(opt, self.cfgs, self.camera_set, self.point_set)
+                self.params = r.run(self.params, self.next_key(), verbose)
+        r_deg, t_err, ate = self.camera_set.eval_poses(verbose=False)
+        self.metrics.log(self.it, view=new_id, n_cams=len(self.camera_set),
+                         n_points=len(self.point_set), reproj_px=reproj,
+                         rot_err_deg=r_deg, t_err=t_err, ate=ate)
         return True
 
     # ------------------------------------------------------------ main loop
@@ -244,4 +260,21 @@ class LevelSfM:
                 return False
             self.it += 1
             self.save_checkpoint(latest=(self.it % int(opt.freq.ckpt) != 0))
+        self._final_artifacts(verbose)
         return True
+
+    def _final_artifacts(self, verbose=True):
+        """Point cloud + camera dump + timing summary
+        (ref vis_geo_rgb artifact surface, `pipelines/base.py:131-225`)."""
+        out = self.opt.get("output_path", None)
+        if out:
+            try:
+                from ..utils import export as export_mod
+                export_mod.export_pointcloud(
+                    self.point_set, os.path.join(out, "pointcloud.ply"))
+                export_mod.export_cameras_json(
+                    self.camera_set, os.path.join(out, "cameras.json"))
+            except Exception as e:  # artifact dumping must never kill a run
+                Log.warn(f"artifact export failed: {e}")
+        if verbose and self.timers.totals:
+            Log.info("phase timing:", self.timers.summary())

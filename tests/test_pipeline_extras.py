@@ -1,0 +1,45 @@
+"""Pipeline extras: full mode (sfm_refine + rendering refine), PnP-scored
+NBV selection, numbered checkpoints."""
+import os
+
+import numpy as np
+import pytest
+
+from level_s2fm_tpu.config import build_options
+from level_s2fm_tpu.data import synthetic
+from level_s2fm_tpu.sfm.pipeline import LevelSfM
+
+BASE = [
+    "--yaml=configs/synthetic.yaml",
+    "--optim.init.max_iter=25",
+    "--optim.geoinit.max_iter=3",
+    "--optim.ba.max_iter=16",
+    "--optim.refine.max_iter=8",
+]
+
+
+def test_full_mode_with_refine(tmp_path):
+    opt = build_options(BASE + ["--sfm_mode=full", f"--output_root={tmp_path}"])
+    scene = synthetic.make_scene(n_views=3, H=64, W=64, n_points=200, seed=0)
+    m = LevelSfM(opt, seed=0)
+    m.load_data(synthetic.scene_to_var(scene))
+    ok = m.train(max_views=3, verbose=False)
+    assert ok
+    assert len(m.point_set) > 20
+    # checkpoints: latest + the numbered copy at it=0 (freq.ckpt default 5)
+    out = os.path.join(str(tmp_path), "0_test", "debug")
+    assert os.path.exists(os.path.join(out, "model.ckpt"))
+
+
+def test_nbv_pnp_scoring(tmp_path):
+    opt = build_options(BASE + ["--sfm_mode=fast", "--nbv_mode=pnp",
+                                f"--output_root={tmp_path}"])
+    scene = synthetic.make_scene(n_views=4, H=64, W=64, n_points=200, seed=0)
+    m = LevelSfM(opt, seed=0)
+    m.load_data(synthetic.scene_to_var(scene))
+    m.initialize_two_views(0, 1, verbose=False)
+    nbv = m.select_next_view([2, 3], verbose=False)
+    assert nbv in (2, 3)
+    # with a ring of cameras 0-1-2-3, view 2 overlaps the registered pair
+    # much more than view 3
+    assert nbv == 2
