@@ -48,8 +48,15 @@ class OccupancyGrid(NamedTuple):
 
 
 def build_occupancy_grid(sdf_fn, center, half_size, resolution: int = 64,
-                         threshold: float = 0.05, chunk: int = 131072):
-    """Occupancy = |sdf| < threshold at cell centers (conservative band)."""
+                         threshold: float = 0.05, chunk: int = 131072,
+                         one_sided: bool = False):
+    """Occupancy from the SDF at cell centers.
+
+    one_sided=False: |sdf| < threshold (surface band — sphere-trace
+    skipping). one_sided=True: sdf < threshold (band + interior — the
+    right criterion for VolSDF compositing, where sigma -> alpha inside
+    the surface and occluded interior bins still absorb).
+    """
     center = jnp.asarray(center, jnp.float32)
     half_size = jnp.asarray(half_size, jnp.float32)
     g = (jnp.arange(resolution) + 0.5) / resolution * 2.0 - 1.0
@@ -60,8 +67,8 @@ def build_occupancy_grid(sdf_fn, center, half_size, resolution: int = 64,
     for i in range(0, flat.shape[0], chunk):
         vals.append(sdf_fn(flat[i:i + chunk])[..., 0])
     sdf = jnp.concatenate(vals).reshape(resolution, resolution, resolution)
-    return OccupancyGrid(occ=jnp.abs(sdf) < threshold, center=center,
-                         half_size=half_size)
+    occ = (sdf < threshold) if one_sided else (jnp.abs(sdf) < threshold)
+    return OccupancyGrid(occ=occ, center=center, half_size=half_size)
 
 
 def march_rays(grid: OccupancyGrid, rays_o, rays_d, n_samples: int = 128,

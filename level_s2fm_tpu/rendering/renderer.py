@@ -34,6 +34,11 @@ class RendererConfig:
     # bounds peak HBM for big batches (8192 rays x 128 samples overflows a
     # 16 GB chip otherwise). None = single pass.
     ray_chunk: Optional[int] = 2048
+    # occupancy-guided sample compaction: keep only the first
+    # `compact_samples` depth samples whose cells intersect the occupancy
+    # band (TPU-native fixed-K replacement for vren's variable-length
+    # compaction). None = evaluate all samples (reference behavior).
+    compact_samples: Optional[int] = None
 
 
 def config_from_opt(opt) -> RendererConfig:
@@ -74,6 +79,25 @@ def composite(ray, rgb_samples, density_samples, depth_samples):
     T = jnp.exp(-jnp.cumsum(jnp.concatenate([zeros, sigma_delta], axis=2), axis=2))[..., :-1]
     prob = (T * alpha)[..., None]
     rgb = jnp.sum(rgb_samples[..., :-1, :] * prob, axis=2)
+    return rgb, prob
+
+
+def composite_explicit(ray, rgb_samples, density_samples, deltas):
+    """Quadrature compositing with per-sample bin widths.
+
+    Used by the compacted path: each selected sample keeps its ORIGINAL
+    uniform bin width, so dropped (sigma~0) bins between selections
+    contribute transmittance factor 1 exactly.
+    rgb_samples [B,HW,K,3]; density [B,HW,K]; deltas [B,HW,K].
+    """
+    ray_length = jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    sigma_delta = density_samples * deltas * ray_length
+    alpha = 1 - jnp.exp(-sigma_delta)
+    zeros = jnp.zeros_like(sigma_delta[..., :1])
+    T = jnp.exp(-jnp.cumsum(jnp.concatenate([zeros, sigma_delta], axis=2),
+                            axis=2))[..., :-1]
+    prob = (T * alpha)[..., None]
+    rgb = jnp.sum(rgb_samples * prob, axis=2)
     return rgb, prob
 
 
@@ -190,12 +214,16 @@ def volsdf_sampling(sdf_params, sdf_cfg: sdf_mod.SDFConfig, cfg: RendererConfig,
 
 def render(sdf_params, sdf_cfg: sdf_mod.SDFConfig,
            rad_params, rad_cfg: radf.RadFConfig,
-           cfg: RendererConfig, center, ray) -> Dict[str, jnp.ndarray]:
+           cfg: RendererConfig, center, ray,
+           occ_grid=None) -> Dict[str, jnp.ndarray]:
     """Full forward render of a ray batch (ref `Renderer.py:51-116`).
 
     center/ray: [B,HW,3]. Returns dict with rgb, sdfs_volume, normals,
     depth_mlp, normal_mlp, opacity. Large batches are processed in
-    rematerialized chunks (see RendererConfig.ray_chunk).
+    rematerialized chunks (see RendererConfig.ray_chunk). Pass an
+    `occ_grid` (rendering.raymarch.OccupancyGrid) with
+    cfg.compact_samples set to evaluate the fields only on the K samples
+    inside the occupancy band.
     """
     HW = center.shape[1]
     chunk = cfg.ray_chunk
@@ -207,19 +235,53 @@ def render(sdf_params, sdf_cfg: sdf_mod.SDFConfig,
 
         def one(cr):
             return _render_impl(sdf_params, sdf_cfg, rad_params, rad_cfg,
-                                cfg, cr[0], cr[1])
+                                cfg, cr[0], cr[1], occ_grid=occ_grid)
 
         outs = jax.lax.map(jax.checkpoint(one), (c2, r2))
         return {k: jnp.swapaxes(v, 0, 1).reshape(B, HW, *v.shape[3:])
                 for k, v in outs.items()}
     return _render_impl(sdf_params, sdf_cfg, rad_params, rad_cfg, cfg,
-                        center, ray)
+                        center, ray, occ_grid=occ_grid)
+
+
+def compact_by_occupancy(depths, center, ray, occ_grid, K: int):
+    """Keep the K nearest samples inside the occupancy band, depth-ordered.
+
+    depths [B,HW,S]. Dropped (empty-space) bins contribute sigma=0 to the
+    quadrature anyway (up to the grid threshold), so compositing over the
+    selected bins with their own widths is faithful. Returns
+    (depths_sel [B,HW,K], valid_sel [B,HW,K]).
+    """
+    pts = center[..., None, :] + ray[..., None, :] * depths[..., None]
+    rel = (pts - occ_grid.center) / (2 * occ_grid.half_size) + 0.5
+    res = occ_grid.resolution
+    cell = jnp.clip((rel * res).astype(jnp.int32), 0, res - 1)
+    valid = occ_grid.occ[cell[..., 0], cell[..., 1], cell[..., 2]]
+    big = jnp.max(depths) + 1.0
+    key = jnp.where(valid, depths, big + depths)
+    order = jnp.argsort(key, axis=-1)[..., :K]
+    d_sel = jnp.take_along_axis(depths, order, -1)
+    v_sel = jnp.take_along_axis(valid, order, -1)
+    # re-sort the selected subset by depth so compositing order is correct
+    order2 = jnp.argsort(d_sel, axis=-1)
+    return (jnp.take_along_axis(d_sel, order2, -1),
+            jnp.take_along_axis(v_sel, order2, -1))
 
 
 def _render_impl(sdf_params, sdf_cfg: sdf_mod.SDFConfig,
                  rad_params, rad_cfg: radf.RadFConfig,
-                 cfg: RendererConfig, center, ray) -> Dict[str, jnp.ndarray]:
-    depth_samples = volsdf_sampling(sdf_params, sdf_cfg, cfg, center, ray)[..., None]
+                 cfg: RendererConfig, center, ray,
+                 occ_grid=None) -> Dict[str, jnp.ndarray]:
+    depth_all = volsdf_sampling(sdf_params, sdf_cfg, cfg, center, ray)  # [B,HW,S]
+    sample_valid = None
+    bin_w = None
+    if occ_grid is not None and cfg.compact_samples is not None:
+        bin_w = depth_all[..., 1] - depth_all[..., 0]     # uniform bin width
+        d, sample_valid = compact_by_occupancy(
+            depth_all, center, ray, occ_grid, cfg.compact_samples)
+        depth_samples = d[..., None]
+    else:
+        depth_samples = depth_all[..., None]
     p3d = center[..., None, :] + ray[..., None, :] * depth_samples  # [B,HW,N,3]
 
     alpha_r, beta_r = sdf_mod.forward_ab(sdf_params, sdf_cfg)
@@ -236,15 +298,24 @@ def _render_impl(sdf_params, sdf_cfg: sdf_mod.SDFConfig,
     rgbs = radf.infer_app(rad_params, rad_cfg, all_enc)
 
     densities = sdf_to_sigma(sdfs, alpha_r, beta_r)
-    rgb, prob = composite(ray, rgbs, densities[..., 0], depth_samples)
+    if sample_valid is not None:
+        dens = densities[..., 0] * sample_valid
+        deltas = jnp.broadcast_to(bin_w[..., None], dens.shape)
+        rgb, prob = composite_explicit(ray, rgbs, dens, deltas)
+        w_depth = depth_samples
+        w_normal = normals
+    else:
+        rgb, prob = composite(ray, rgbs, densities[..., 0], depth_samples)
+        w_depth = depth_samples[..., :-1, :]
+        w_normal = normals[..., :-1, :]
     opacity = jnp.sum(prob, axis=2)  # [B,HW,1]
 
     bg = jnp.asarray(cfg.bgcolor, rgb.dtype)
     rgb = rgb + (1 - opacity) * bg
 
-    depth_mlp = jnp.sum(depth_samples[..., :-1, :] * prob, axis=2)
+    depth_mlp = jnp.sum(w_depth * prob, axis=2)
     depth_mlp = depth_mlp + (1 - opacity) * depth_samples[..., -1, :]
-    normal_mlp = jnp.sum(normals[..., :-1, :] * prob, axis=2)
+    normal_mlp = jnp.sum(w_normal * prob, axis=2)
     normal_mlp = normal_mlp + (1 - opacity) * normals[..., -1, :]
 
     return {"rgb": rgb, "sdfs_volume": sdfs, "normals": normals,

@@ -140,6 +140,28 @@ def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
     return out
 
 
+def chunked_run(run_jit, state, batch, key, n_iters: int, chunk: int = 50):
+    """Execute a phase as several smaller device scans.
+
+    One giant scan (500-1000 iters in a single XLA dispatch) can run for
+    minutes; the remote-TPU transport kills long-running single calls
+    ("TPU worker process crashed"). Chunks of ~50 keep each dispatch in
+    the tens of seconds while costing negligible dispatch overhead.
+    """
+    metrics_parts = []
+    done = 0
+    i = 0
+    while done < n_iters:
+        n = min(chunk, n_iters - done)
+        state, m = run_jit(state, batch, jax.random.fold_in(key, i), n_iters=n)
+        metrics_parts.append(m)
+        done += n
+        i += 1
+    metrics = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                           *metrics_parts)
+    return state, metrics
+
+
 def eikonal_from_normals(normals, mask=None):
     n = jnp.linalg.norm(normals, axis=-1)
     if mask is None:
@@ -230,7 +252,8 @@ class InitPhase:
         return self._step(state, batch, key)
 
     def run(self, state, batch, key, n_iters=None):
-        return self._run(state, batch, key, n_iters=n_iters or self.max_iter)
+        return chunked_run(self._run, state, batch, key,
+                           n_iters or self.max_iter)
 
     def _triangulate_impl(self, params, batch, key):
         tr = sdf_mod.sphere_tracing(params["sdf"], self.cfgs.sdf,
@@ -385,7 +408,8 @@ class GeoInitPhase:
         return self._step(state, batch, key)
 
     def run(self, state, batch, key, n_iters=None):
-        return self._run(state, batch, key, n_iters=n_iters or self.max_iter)
+        return chunked_run(self._run, state, batch, key,
+                           n_iters or self.max_iter)
 
     def _final_impl(self, params, batch, key):
         """Final trace for host-side point acceptance (ref `:281-302`)."""
@@ -517,7 +541,8 @@ class BAPhase:
         return self._step(state, batch, key)
 
     def run(self, state, batch, key, n_iters=None):
-        return self._run(state, batch, key, n_iters=n_iters or self.max_iter)
+        return chunked_run(self._run, state, batch, key,
+                           n_iters or self.max_iter)
 
 
 # ============================================================================
@@ -587,4 +612,5 @@ class RefinePhase:
         return self._step(state, batch, key)
 
     def run(self, state, batch, key, n_iters=None):
-        return self._run(state, batch, key, n_iters=n_iters or self.max_iter)
+        return chunked_run(self._run, state, batch, key,
+                           n_iters or self.max_iter)

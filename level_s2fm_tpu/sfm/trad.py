@@ -86,9 +86,10 @@ class SdfFitPhase:
         return jax.lax.scan(step, state, keys)
 
     def run(self, params, batch, key, n_iters=None):
+        from .phases import chunked_run
         state = self.init_state(params)
-        state, metrics = self._run(state, batch, key,
-                                   n_iters=n_iters or self.max_iter)
+        state, metrics = chunked_run(self._run, state, batch, key,
+                                     n_iters or self.max_iter)
         return state["params"], metrics
 
 
@@ -158,10 +159,11 @@ class BATradPhase:
         return jax.lax.scan(step, state, jnp.arange(n_iters))
 
     def run(self, params, batch, key, n_iters=None):
+        from .phases import chunked_run
         self._tx = self._mk_tx(params)
         state = {"params": params, "opt": self._tx.init(params)}
-        state, metrics = self._run(state, batch, key,
-                                   n_iters=n_iters or self.max_iter)
+        state, metrics = chunked_run(self._run, state, batch, key,
+                                     n_iters or self.max_iter)
         return state["params"], metrics
 
 
