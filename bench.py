@@ -1,5 +1,9 @@
 """Benchmark: fwd+bwd volumetric-render training step throughput (rays/s).
 
+Flags: --quick (small config), --full (reference 8192-ray batch),
+--occ (occupancy-guided sample compaction, keep 32 of 128 samples),
+--cpu (force CPU backend).
+
 Runs the flagship hot path — VolSDF render of the hash-grid SDF + radiance
 fields (128 samples/ray, reference live config) with gradients w.r.t. all
 field parameters — on the default JAX backend (the real TPU chip under the
@@ -74,9 +78,23 @@ def main():
         axis=-1).astype(np.float32))
     rgb_gt = jnp.asarray(rng.uniform(0, 1, size=(1, n_rays, 3)).astype(np.float32))
 
+    occ_grid = None
+    occ_tag = ""
+    if "--occ" in sys.argv:
+        import dataclasses
+        from level_s2fm_tpu.fields import sdf as _sdf
+        from level_s2fm_tpu.rendering import raymarch as _rm
+        occ_grid = _rm.build_occupancy_grid(
+            lambda p: _sdf.infer_sdf(params["sdf"], sdf_cfg, p),
+            jnp.zeros(3), jnp.ones(3), resolution=64, threshold=0.25,
+            one_sided=True)
+        ren_cfg = dataclasses.replace(ren_cfg,
+                                      compact_samples=max(sample_intvs // 4, 16))
+        occ_tag = "_occ"
+
     def loss_fn(params):
         out = ren_mod.render(params["sdf"], sdf_cfg, params["rad"], rad_cfg,
-                             ren_cfg, center, ray)
+                             ren_cfg, center, ray, occ_grid=occ_grid)
         n = jnp.linalg.norm(out["normals"], axis=-1)
         return (jnp.mean(jnp.abs(out["rgb"] - rgb_gt))
                 + 0.1 * jnp.mean(jnp.abs(n - 1.0)))
@@ -105,7 +123,7 @@ def main():
     dt = time.perf_counter() - t0
     rays_per_s = n_rays * iters / dt
 
-    cfg_key = f"rays_per_s_{n_rays}x{sample_intvs}"
+    cfg_key = f"rays_per_s_{n_rays}x{sample_intvs}{occ_tag}"
     record = {}
     if os.path.exists(BASELINE_FILE):
         try:

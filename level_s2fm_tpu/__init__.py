@@ -13,3 +13,11 @@ and `jax.sharding` meshes for multi-chip ray/track parallelism.
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry (se3 exp/log, Procrustes, projections) runs through small
+# matmuls; the TPU's default bf16 MXU precision injects degree-level pose
+# errors (measured: 4.2 deg vs 0.03 deg two-view rot error). The hot path
+# is gather-bound, not matmul-bound, so full f32 costs nothing measurable.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -19,7 +19,7 @@ dict (keypoints are rescaled by the image downscale factors, ref
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

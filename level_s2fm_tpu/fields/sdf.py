@@ -23,7 +23,7 @@ Field parameters are a pytree: {"table": [L,T,F], "mlp": {...}, "beta": [1]}.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ branches via jnp.where rather than data-dependent control flow).
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 # ----------------------------------------------------------------------------- poses

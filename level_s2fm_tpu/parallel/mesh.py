@@ -14,7 +14,7 @@ compiler keeps the batch axis distributed.
 from __future__ import annotations
 
 import contextlib
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -10,7 +10,7 @@ library) is preferred when built, with this as fallback.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -20,8 +20,7 @@ Deviations (explicit, cf. SURVEY.md §7.3):
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -140,13 +139,20 @@ def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
     return out
 
 
-def chunked_run(run_jit, state, batch, key, n_iters: int, chunk: int = 50):
+import os
+
+_DEFAULT_SCAN_CHUNK = int(os.environ.get("LS2FM_SCAN_CHUNK", "50"))
+
+
+def chunked_run(run_jit, state, batch, key, n_iters: int,
+                chunk: int = _DEFAULT_SCAN_CHUNK):
     """Execute a phase as several smaller device scans.
 
     One giant scan (500-1000 iters in a single XLA dispatch) can run for
     minutes; the remote-TPU transport kills long-running single calls
     ("TPU worker process crashed"). Chunks of ~50 keep each dispatch in
     the tens of seconds while costing negligible dispatch overhead.
+    Tune with env LS2FM_SCAN_CHUNK.
     """
     metrics_parts = []
     done = 0

@@ -11,7 +11,6 @@ terminates cleanly when all views are registered.
 from __future__ import annotations
 
 import os
-import time
 from typing import Dict, Optional
 
 import jax

@@ -14,7 +14,7 @@ Enabled by ``opt.Ablate_config.tri_trad`` / ``opt.Ablate_config.ba_trad``.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ import numpy as np
 import optax
 
 from ..fields import sdf as sdf_mod
-from ..geometry import lie, transforms as T
+from ..geometry import lie
 from . import entities, hostgeom
 from . import losses as L
 from . import optim as optim_mod

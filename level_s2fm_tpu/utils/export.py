@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..fields import sdf as sdf_mod
-from ..geometry import lie, transforms as T
+from ..geometry import transforms as T
 from ..rendering import renderer as ren_mod
 from . import marching_cubes as mc
 

@@ -7,7 +7,7 @@ keypoint overlay, `util_vis.py:185-257` matplotlib pose plots).
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

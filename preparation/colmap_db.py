@@ -11,7 +11,7 @@ image_id1 < image_id2 (COLMAP's public on-disk format).
 from __future__ import annotations
 
 import sqlite3
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
