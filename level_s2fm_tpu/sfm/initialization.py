@@ -212,9 +212,32 @@ class Initializer:
         else:
             mask = gate
         print(f"Triangulation ratio {mask.sum()}/{len(mask)}")
+        self._dump_match_vis(mask)
         kp_idx = np.stack([self.kp_idx0, self.kp_idx1], 0)[:, mask]
         tracks = [[(0, int(kp_idx[0, j])), (1, int(kp_idx[1, j]))]
                   for j in range(kp_idx.shape[1])]
         idx = self.pointset.add_points(pts_avg[mask], tracks)
         self.cameraset.cameras[0].idx2d_to_3d[kp_idx[0]] = idx
         self.cameraset.cameras[1].idx2d_to_3d[kp_idx[1]] = idx
+
+    def _dump_match_vis(self, mask):
+        """Init match images: filtered-out + original pairs
+        (ref `Initialization.py:196-206`)."""
+        out = self.opt.get("output_path", None)
+        if not out:
+            return
+        try:
+            import os
+            from ..utils import vis
+            cam0, cam1 = self.cameraset.cameras[:2]
+            kp0 = cam0.kypts[self.kp_idx0]
+            kp1 = cam1.kypts[self.kp_idx1]
+            save = os.path.join(out, "init_mch")
+            if (~mask).sum() > 2:
+                vis.draw_matches(cam0.img, cam1.img, kp0[~mask], kp1[~mask],
+                                 os.path.join(save, f"{cam0.id}_{cam1.id}_filter.jpg"),
+                                 vis_num=100)
+            vis.draw_matches(cam0.img, cam1.img, kp0, kp1,
+                             os.path.join(save, f"{cam0.id}_{cam1.id}_org.jpg"))
+        except Exception:
+            pass  # visualization must never kill a run

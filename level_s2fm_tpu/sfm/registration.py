@@ -86,7 +86,22 @@ class Registration:
         pointset.update_feat_tracks(id_3d_in,
                                     [(new_cam_pos, int(k)) for k in id_2d_in])
         camera_new.idx2d_to_3d[id_2d_in] = id_3d_in
+        self._dump_pnp_overlay(camera_new, id_2d_in)
         return True, len(id_2d_in) / max(len(p3d_m), 1), len(id_2d_in)
+
+    def _dump_pnp_overlay(self, camera_new, id_2d_in):
+        """PnP inlier keypoint overlay (ref `Registration.py:117-125`)."""
+        out = self.opt.get("output_path", None)
+        if not out:
+            return
+        try:
+            import os
+            from ..utils import vis
+            vis.draw_keypoints(
+                camera_new.img, camera_new.kypts[id_2d_in],
+                os.path.join(out, "pnp", f"pnp_{len(self.cameraset)}.jpg"))
+        except Exception:
+            pass  # visualization must never kill a run
 
     # ------------------------------------------------------------ geo init
     def _pair_rays(self, cam_from: entities.Camera, cam_with: entities.Camera):
