@@ -1,0 +1,66 @@
+"""Failure-path and edge-case tests for the incremental pipeline."""
+import numpy as np
+import pytest
+
+import dataclasses
+import jax
+import jax.numpy as jnp
+
+from level_s2fm_tpu.config import build_options
+from level_s2fm_tpu.data import synthetic
+from level_s2fm_tpu.sfm import entities
+from level_s2fm_tpu.sfm.pipeline import LevelSfM
+from level_s2fm_tpu.sfm.registration import Registration
+
+
+def test_registration_fails_without_covisibility(tmp_path):
+    """A view sharing no matches must be rejected cleanly
+    (ref `Registration.py:97-99` -> `LevelS2fM.py:306-308`)."""
+    opt = build_options(["--yaml=configs/synthetic.yaml",
+                         "--optim.init.max_iter=15", "--sfm_mode=fast",
+                         f"--output_root={tmp_path}"])
+    scene = synthetic.make_scene(n_views=3, H=64, W=64, n_points=128, seed=0)
+    var = synthetic.scene_to_var(scene)
+    # cut all matches between view 2 and the others
+    for i in range(3):
+        for rel in range(2):
+            pair_other = [j for j in range(3) if j != i][rel]
+            if 2 in (i, pair_other):
+                var["masks"][i][rel] = np.zeros_like(var["masks"][i][rel])
+    m = LevelSfM(opt, seed=0)
+    m.load_data(var)
+    m.initialize_two_views(0, 1, verbose=False)
+    cam2 = m._make_camera(2)
+    reg = Registration(opt, m.cfgs, m.camera_set)
+    ok, ratio, num = reg.pnp(m.params, cam2, m.point_set, if_nbv=True)
+    assert not ok
+
+
+def test_adaptive_volsdf_sampling_concentrates_near_surface(rng):
+    from tests.test_dual_field import build
+    from level_s2fm_tpu.rendering import renderer as ren_mod
+    params, sdf_cfg, rad_cfg, ren_cfg = build(dual=False)
+    cfg = dataclasses.replace(ren_cfg, volsdf_sampling=True,
+                              max_upsample_iter=2, sample_intvs=32,
+                              final_sample_intvs=32, ray_chunk=None)
+    center = jnp.asarray([[[0.0, 0.0, -2.0]]])
+    ray = jnp.asarray([[[0.0, 0.0, 1.0]]])
+    d = np.asarray(ren_mod.volsdf_sampling(params["sdf"], sdf_cfg, cfg,
+                                           center, ray))[0, 0]
+    # surface at depth 1.5 (init sphere r=0.5): adaptive samples should
+    # concentrate there vs uniform
+    frac_near = np.mean(np.abs(d - 1.5) < 0.25)
+    uniform_frac = 0.5 / 2.0  # band width / AABB span
+    assert frac_near > uniform_frac * 1.5
+
+
+def test_pointset_growth_and_track_update():
+    ps = entities.PointSet(capacity=4)
+    idx1 = ps.add_points(np.ones((3, 3), np.float32), [[(0, 1)], [(0, 2)], [(1, 3)]])
+    idx2 = ps.add_points(np.zeros((5, 3), np.float32), [[(1, i)] for i in range(5)])
+    assert len(ps) == 8 and list(idx2) == [3, 4, 5, 6, 7]
+    ps.update_feat_tracks([0, 4], [(2, 9), (2, 10)])
+    assert ps.tracks[0][-1] == (2, 9)
+    assert ps.tracks[4][-1] == (2, 10)
+    ps.update_xyzs([1], np.asarray([[5.0, 5.0, 5.0]], np.float32))
+    np.testing.assert_allclose(ps.get_xyzs([1])[0], [5, 5, 5])

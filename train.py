@@ -46,6 +46,13 @@ def main(argv=None):
     if opt.get("get_result", False):
         from level_s2fm_tpu.utils import export
         model._reload_scene()
+        if opt.get("refine_again", None) or opt.Ablate_config.get("refine_again"):
+            # long rendering-refine before export (ref `LevelS2fM.py:207-218`)
+            from level_s2fm_tpu.sfm.bundle import Refiner
+            refiner = Refiner(opt, model.cfgs, model.camera_set, model.point_set,
+                              max_iter=int(opt.get("refine_again_iters", 10000)))
+            model.params = refiner.run(model.params, model.next_key())
+            model.save_checkpoint(latest=True)
         export.export_results(opt, model)
         return model
 
