@@ -2,6 +2,7 @@
 
 Flags: --quick (small config), --full (reference 8192-ray batch),
 --occ (occupancy-guided sample compaction, keep 32 of 128 samples),
+--ba (neural-BA step throughput instead of the render step),
 --cpu (force CPU backend).
 
 Runs the flagship hot path — VolSDF render of the hash-grid SDF + radiance
@@ -78,6 +79,10 @@ def main():
         axis=-1).astype(np.float32))
     rgb_gt = jnp.asarray(rng.uniform(0, 1, size=(1, n_rays, 3)).astype(np.float32))
 
+    if "--ba" in sys.argv:
+        bench_ba(opt, sdf_cfg, rad_cfg, ren_cfg, params, QUICK)
+        return
+
     occ_grid = None
     occ_tag = ""
     if "--occ" in sys.argv:
@@ -142,6 +147,54 @@ def main():
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / baseline, 3),
+    }))
+
+
+def bench_ba(opt, sdf_cfg, rad_cfg, ren_cfg, params, quick):
+    """Neural-BA step throughput (track observations/s), sfm mode."""
+    import jax
+    import jax.numpy as jnp
+    from level_s2fm_tpu.geometry import transforms as T
+    from level_s2fm_tpu.sfm.phases import BAPhase, PhaseCfgs
+
+    P = 1024 if quick else 8192
+    C = 8
+    HW = 64 * 64
+    rng = np.random.default_rng(0)
+    cfgs = PhaseCfgs(sdf=sdf_cfg, rad=rad_cfg, ren=ren_cfg, H=64, W=64,
+                     rand_rays=2048)
+    phase = BAPhase(cfgs, weights={"reproj_error": 0, "eikonal_loss": 2,
+                                   "sdf_surf": 2}, mode="sfm", max_iter=1)
+    se3 = rng.normal(size=(C, 6)).astype(np.float32) * 0.05
+    se3[:, 5] += 2.0
+    ba_params = {"sdf": params["sdf"], "rad": params["rad"],
+                 "se3_r": jnp.asarray(se3[:, :3]),
+                 "se3_t": jnp.asarray(se3[:, 3:])}
+    xyzs = rng.normal(size=(P, 3)).astype(np.float32)
+    xyzs /= np.linalg.norm(xyzs, axis=-1, keepdims=True) * 2.0  # on init sphere
+    batch = {
+        "pose_idx": jnp.asarray(rng.integers(0, C, P).astype(np.int32)),
+        "kp": jnp.asarray(rng.uniform(0, 64, size=(P, 2)).astype(np.float32)),
+        "valid": jnp.ones(P, bool),
+        "intr": jnp.asarray([[64.0, 0, 32], [0, 64.0, 32], [0, 0, 1]]),
+        "images": jnp.asarray(rng.uniform(0, 1, (C, HW, 3)).astype(np.float32)),
+        "grid": T.mesh_grid(64, 64),
+        "tracing": None,
+    }
+    state = phase.init_state(ba_params, jnp.asarray(xyzs))
+    iters = 3 if quick else 10
+    state, _ = phase.run(state, batch, jax.random.PRNGKey(0), n_iters=iters)
+    jax.block_until_ready(state["params"])
+    t0 = time.perf_counter()
+    state, _ = phase.run(state, batch, jax.random.PRNGKey(1), n_iters=iters)
+    jax.block_until_ready(state["params"])
+    dt = time.perf_counter() - t0
+    iters_per_s = iters / dt
+    print(json.dumps({
+        "metric": "ba_sfm_step_iters_per_s",
+        "value": round(iters_per_s, 2),
+        "unit": f"iters/s (P={P} tracks, C={C} cams)",
+        "vs_baseline": 1.0,
     }))
 
 

@@ -109,8 +109,10 @@ class Bundler:
         self.xyzs0 = jnp.asarray(xyzs)
 
         weights = {k: v for k, v in opt.loss_weight.ba.items()}
-        self.phase = BAPhase(
-            cfgs, weights, mode=mode, single_cam=(len(self.cam_pick_ids) == 1),
+        from .phases import get_cached_phase
+        self.phase = get_cached_phase(
+            BAPhase, cfgs, weights, mode=mode,
+            single_cam=(len(self.cam_pick_ids) == 1),
             lr_sdf=float(ob.lr_sdf), lr_sdf_end=float(ob.lr_sdf_end),
             lr_color=float(ob.lr_color), lr_pose_r=float(ob.lr_pose_r),
             lr_pose_t=float(ob.lr_pose_t), max_iter=max_iter)
@@ -169,10 +171,12 @@ class Refiner:
                                           self.cam_pick_ids),
         }
         weights = {k: v for k, v in opt.loss_weight.refine.items()}
-        self.phase = RefinePhase(cfgs, weights,
-                                 lr_sdf=float(orf.lr_sdf), lr_sdf_end=float(orf.lr_sdf_end),
-                                 lr_color=float(orf.lr_color),
-                                 max_iter=int(max_iter or orf.max_iter))
+        from .phases import get_cached_phase
+        self.phase = get_cached_phase(
+            RefinePhase, cfgs, weights,
+            lr_sdf=float(orf.lr_sdf), lr_sdf_end=float(orf.lr_sdf_end),
+            lr_color=float(orf.lr_color),
+            max_iter=int(max_iter or orf.max_iter))
 
     def run(self, params, key, verbose=True):
         state = self.phase.init_state(params)

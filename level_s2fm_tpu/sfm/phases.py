@@ -168,6 +168,25 @@ def chunked_run(run_jit, state, batch, key, n_iters: int,
     return state, metrics
 
 
+_PHASE_CACHE: dict = {}
+
+
+def get_cached_phase(cls, cfgs, weights, **kwargs):
+    """Reuse phase instances (and their jax.jit caches) across pipeline
+    steps.
+
+    A fresh phase object per registration/BA would retrace + recompile the
+    identical program every view (minutes each through the remote TPU
+    compiler). The cache key covers everything that shapes the traced
+    computation: phase class, static cfgs, loss weights, lrs/max_iter.
+    """
+    key = (cls.__name__, cfgs, tuple(sorted(weights.items())),
+           tuple(sorted(kwargs.items())))
+    if key not in _PHASE_CACHE:
+        _PHASE_CACHE[key] = cls(cfgs, weights, **kwargs)
+    return _PHASE_CACHE[key]
+
+
 def eikonal_from_normals(normals, mask=None):
     n = jnp.linalg.norm(normals, axis=-1)
     if mask is None:

@@ -194,7 +194,10 @@ class Registration:
 
         P_real = sum(s["n"] for s in segs)
         P = entities.pad_to_bucket(P_real)
-        S = len(segs)
+        # pad the segment count to a bucket so the jitted phase doesn't
+        # recompile every time one more source view exists (empty segments
+        # are masked out by the per-frame counters)
+        S = entities.pad_to_bucket(len(segs), buckets=(2, 4, 8, 16, 32, 64))
         f32 = np.float32
 
         def alloc(shape, fill=0.0, dtype=f32):
@@ -244,9 +247,11 @@ class Registration:
         og = opt.optim.geoinit
         weights = {k: v for k, v in opt.loss_weight.geoinit.items()}
         # reference runs max_iter*5 triangulation iters (`Registration.py:140`)
-        phase = GeoInitPhase(self.cfgs, weights, n_segments=S,
-                             lr_sdf=float(og.lr_sdf), lr_sdf_end=float(og.lr_sdf_end),
-                             max_iter=int(og.max_iter) * 5, reproj_max=reproj_max)
+        from .phases import get_cached_phase
+        phase = get_cached_phase(
+            GeoInitPhase, self.cfgs, weights, n_segments=S,
+            lr_sdf=float(og.lr_sdf), lr_sdf_end=float(og.lr_sdf_end),
+            max_iter=int(og.max_iter) * 5, reproj_max=reproj_max)
         batch = {
             "center": jnp.asarray(center), "ray": jnp.asarray(ray),
             "kp_src": jnp.asarray(kp_src),
