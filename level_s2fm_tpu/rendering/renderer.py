@@ -52,6 +52,7 @@ def config_from_opt(opt) -> RendererConfig:
         eps=float(opt.SDF.VolSDF.eps),
         bgcolor=tuple(bg),
         ray_chunk=opt.get("Renderer", {}).get("ray_chunk", 2048),
+        compact_samples=opt.get("Renderer", {}).get("compact_samples", None),
     )
 
 

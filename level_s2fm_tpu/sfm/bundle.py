@@ -56,6 +56,48 @@ def build_tracing_data(cfgs: PhaseCfgs, cameraset: entities.CameraSet,
             "xyz": jnp.asarray(xyz), "mask": jnp.asarray(mask)}
 
 
+def run_phase_occ_refresh(opt, cfgs, phase, state, batch, key, n_iters,
+                          segments: int = 4):
+    """Run a phase in outer segments, rebuilding the occupancy grid from
+    the CURRENT SDF between segments (the surface moves during a phase;
+    the compaction band must follow it)."""
+    seg = max(n_iters // segments, 1)
+    done = 0
+    metrics_parts = []
+    i = 0
+    import jax
+    while done < n_iters:
+        n = min(seg, n_iters - done)
+        b = dict(batch)
+        b["occ"] = maybe_build_occ(opt, cfgs, state["params"])
+        state, m = phase.run(state, b, jax.random.fold_in(key, 1000 + i),
+                             n_iters=n)
+        metrics_parts.append(m)
+        done += n
+        i += 1
+    import jax.numpy as _jnp
+    metrics = jax.tree.map(lambda *xs: _jnp.concatenate(xs, axis=0),
+                           *metrics_parts)
+    return state, metrics
+
+
+def maybe_build_occ(opt, cfgs: PhaseCfgs, params):
+    """Occupancy grid for compacted rendering inside phases (opt-in via
+    Renderer.compact_samples; grid rebuilt from the current SDF at each
+    phase start/segment — see run_phase_occ_refresh)."""
+    if cfgs.ren.compact_samples is None:
+        return None
+    from ..fields import sdf as sdf_mod
+    from ..rendering import raymarch as rm
+    res = int(opt.get("Renderer", {}).get("occ_res", 64))
+    thr = float(opt.get("Renderer", {}).get("occ_threshold", 0.25))
+    return rm.build_occupancy_grid(
+        lambda p: sdf_mod.infer_sdf(params["sdf"], cfgs.sdf, p),
+        jnp.asarray(cfgs.sdf.center, jnp.float32),
+        jnp.asarray(cfgs.sdf.half_size, jnp.float32),
+        resolution=res, threshold=thr, one_sided=True)
+
+
 def stack_images(cameraset: entities.CameraSet, cam_ids: Sequence[int]):
     return jnp.asarray(np.stack(
         [cameraset(c).img.reshape(-1, 3) for c in cam_ids], 0))
@@ -124,7 +166,12 @@ class Bundler:
                      "se3_r": jnp.asarray(se3[:, :3]),
                      "se3_t": jnp.asarray(se3[:, 3:])}
         state = self.phase.init_state(ba_params, self.xyzs0)
-        state, metrics = self.phase.run(state, self.batch, key)
+        if self.cfgs.ren.compact_samples is not None:
+            state, metrics = run_phase_occ_refresh(
+                self.opt, self.cfgs, self.phase, state, self.batch, key,
+                self.max_iter)
+        else:
+            state, metrics = self.phase.run(state, self.batch, key)
         p = state["params"]
         reproj = float(np.asarray(metrics["reproj_px"])[-1])
         if verbose:
@@ -180,7 +227,12 @@ class Refiner:
 
     def run(self, params, key, verbose=True):
         state = self.phase.init_state(params)
-        state, metrics = self.phase.run(state, self.batch, key)
+        if self.cfgs.ren.compact_samples is not None:
+            state, metrics = run_phase_occ_refresh(
+                self.opt, self.cfgs, self.phase, state, self.batch, key,
+                self.phase.max_iter)
+        else:
+            state, metrics = self.phase.run(state, self.batch, key)
         if verbose:
             last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()
                     if np.asarray(v).ndim == 1}

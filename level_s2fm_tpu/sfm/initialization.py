@@ -150,7 +150,13 @@ class Initializer:
         if self.opt.Ablate_config.get("tri_trad", False):
             return self.run_trad(params, key, verbose=verbose)
         state = self.phase.init_state(params)
-        state, metrics = self.phase.run(state, self.batch, key)
+        if self.cfgs.ren.compact_samples is not None:
+            from .bundle import run_phase_occ_refresh
+            state, metrics = run_phase_occ_refresh(
+                self.opt, self.cfgs, self.phase, state, self.batch, key,
+                self.phase.max_iter, segments=8)
+        else:
+            state, metrics = self.phase.run(state, self.batch, key)
         params = state["params"]
         if verbose:
             last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()

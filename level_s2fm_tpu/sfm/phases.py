@@ -64,7 +64,7 @@ def project_points_per(pts, poses, K, eps=EPS):
 # ============================================================================
 
 def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
-                tracing=None):
+                tracing=None, occ=None):
     """Random-ray multi-view render + the standard loss bundle.
 
     poses [C,3,4]; intr [3,3]; images [C,HW,3]; grid [HW,2].
@@ -104,7 +104,7 @@ def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
         out["tracing_loss"] = jnp.asarray(0.0)
 
     ren = ren_mod.render(params["sdf"], cfgs.sdf, params["rad"], cfgs.rad,
-                         cfgs.ren, centers, rays)
+                         cfgs.ren, centers, rays, occ_grid=occ)
     rgb = ren["rgb"]
     depth_mlp = ren["depth_mlp"]
 
@@ -243,7 +243,8 @@ class InitPhase:
         loss["sdf_surf"] = L.masked_mean(jnp.abs(sdf_surf), batch["kp_mask"])
 
         rc = render_core(params, cfgs, k2, batch["poses"], batch["intr"],
-                         batch["images"], batch["grid"])
+                         batch["images"], batch["grid"],
+                         occ=batch.get("occ"))
         loss["eikonal_loss"] = eikonal_from_normals(rc["normals"])
         loss["rgb"] = rc["rgb_loss"]
         loss["DC_Loss"] = rc["DC_loss"]
@@ -520,7 +521,8 @@ class BAPhase:
             if not self.single_cam:
                 pose_input = jax.lax.stop_gradient(pose_input)
             rc = render_core(params, cfgs, key, pose_input, batch["intr"],
-                             batch["images"], batch["grid"], tracing=batch["tracing"])
+                             batch["images"], batch["grid"],
+                             tracing=batch["tracing"], occ=batch.get("occ"))
             loss["eikonal_loss"] = eikonal_from_normals(rc["normals"], rc["mask_bg"])
             loss["rgb"] = rc["rgb_loss"]
             loss["DC_Loss"] = rc["DC_loss"]
@@ -600,7 +602,8 @@ class RefinePhase:
 
     def _losses(self, params, batch, key):
         rc = render_core(params, self.cfgs, key, batch["poses"], batch["intr"],
-                         batch["images"], batch["grid"], tracing=batch["tracing"])
+                         batch["images"], batch["grid"],
+                         tracing=batch["tracing"], occ=batch.get("occ"))
         loss = {
             "eikonal_loss": eikonal_from_normals(rc["normals"]),
             "rgb": rc["rgb_loss"],
