@@ -218,7 +218,8 @@ class SphereTraceResult(NamedTuple):
 
 def sphere_tracing(params, cfg: SDFConfig, ray0: jnp.ndarray, ray_dir: jnp.ndarray,
                    key: Optional[jax.Array] = None,
-                   track_subsample: int = 4096) -> SphereTraceResult:
+                   track_subsample: int = 4096,
+                   max_sample_pts: Optional[int] = 2048) -> SphereTraceResult:
     """Bidirectional sphere tracing of the SDF along rays.
 
     ray0/ray_dir: [B,N,3] (ray_dir need not be unit; steps are in sdf units
@@ -307,7 +308,7 @@ def sphere_tracing(params, cfg: SDFConfig, ray0: jnp.ndarray, ray_dir: jnp.ndarr
     # -------- free-space + track samples for eikonal regularization --------
     if key is None:
         key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
     factor_rand = jax.random.uniform(k1, (BN,))
     d_up = jnp.minimum(1.5 * acc_e, max_dis)
     d_sample = (1 - factor_rand) * d_up + factor_rand * min_dis
@@ -315,7 +316,16 @@ def sphere_tracing(params, cfg: SDFConfig, ray0: jnp.ndarray, ray_dir: jnp.ndarr
     n_pick = min(track_subsample, BN)
     pick = jax.random.permutation(k2, BN)[:n_pick]
     track_pick = jnp.swapaxes(track, 0, 1)[pick].reshape(-1, 3)  # [n_pick*iters,3]
-    sample_pts = jnp.concatenate([track_pick, free_pts], axis=0)[None]
+    sample_pts = jnp.concatenate([track_pick, free_pts], axis=0)
+    if max_sample_pts is not None and sample_pts.shape[0] > max_sample_pts:
+        # cap the eikonal sample count: (a) it is a random regularizer
+        # subsample to begin with (the reference caps at 4096 rays,
+        # `models/SDF.py:223`); (b) the remote TPU compiler SIGILLs on
+        # spatial-gradient graphs past a few thousand points (bisected
+        # empirically) — keep each gradient() call under that size.
+        pick2 = jax.random.permutation(k3, sample_pts.shape[0])[:max_sample_pts]
+        sample_pts = sample_pts[pick2]
+    sample_pts = sample_pts[None]
 
     return SphereTraceResult(d_pred=d_pred.reshape(B, N), sdf_surf=sdf_last,
                              sample_pts=p_detach(sample_pts),

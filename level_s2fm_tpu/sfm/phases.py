@@ -317,7 +317,11 @@ class GeoInitPhase:
 
     def __init__(self, cfgs: PhaseCfgs, weights: Dict, n_segments: int,
                  lr_sdf=1e-3, lr_sdf_end=1e-3, max_iter=500, reproj_max=15.0,
-                 exist_subsample=4000):
+                 exist_subsample=2048):
+        # deviation: reference samples 4000 existing points
+        # (`Registration.py:258`); capped at 2048 because the remote TPU
+        # compiler SIGILLs on spatial-gradient graphs past a few thousand
+        # points (see sphere_tracing.max_sample_pts)
         self.cfgs = cfgs
         self.weights = dict(weights)
         self.max_iter = max_iter
@@ -362,11 +366,14 @@ class GeoInitPhase:
         mask_new = batch["mask_new"] & valid
         seg = batch["seg"]
 
-        # per-pair mean reprojection over accepted NEW observations
+        # per-pair mean reprojection over accepted NEW observations.
+        # segment reductions as one-hot matmuls: S is tiny (<=64), the
+        # matmul rides the MXU, and it avoids the scatter path entirely
+        seg_onehot = (seg[:, None] == jnp.arange(S)[None, :]).astype(re0.dtype)
         w_re = (mask_new & (~reject)).astype(re0.dtype)
         v_re = (re0 + re1) / 2
-        seg_sum = jax.ops.segment_sum(v_re * w_re, seg, num_segments=S)
-        seg_cnt = jax.ops.segment_sum(w_re, seg, num_segments=S)
+        seg_sum = (v_re * w_re) @ seg_onehot
+        seg_cnt = w_re @ seg_onehot
         has_re = seg_cnt > 0
         per_seg = jnp.where(has_re, seg_sum / jnp.maximum(seg_cnt, 1.0), 0.0)
         n_frames_re = jnp.sum(has_re)
@@ -375,8 +382,8 @@ class GeoInitPhase:
         # tracing loss for already-tracked keypoints of the new camera
         w_tr = ((~batch["mask_new"]) & valid & batch["has_target"]).astype(re0.dtype)
         tdist = jnp.linalg.norm(batch["xyz_target"] - pts[0], axis=-1)
-        seg_tsum = jax.ops.segment_sum(tdist * w_tr, seg, num_segments=S)
-        seg_tcnt = jax.ops.segment_sum(w_tr, seg, num_segments=S)
+        seg_tsum = (tdist * w_tr) @ seg_onehot
+        seg_tcnt = w_tr @ seg_onehot
         has_t = seg_tcnt > 0
         per_seg_t = jnp.where(has_t, seg_tsum / jnp.maximum(seg_tcnt, 1.0), 0.0)
         tracing = jnp.sum(per_seg_t) / jnp.maximum(jnp.sum(has_t), 1)
