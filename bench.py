@@ -120,8 +120,17 @@ def main():
         acc, _ = jax.lax.scan(body, 0.0, None, length=iters)
         return acc
 
-    out = run_steps(params)  # compile + warmup
-    jax.block_until_ready(out)
+    # compile + warmup; the remote compile helper fails transiently when
+    # the terminal is busy/restarting — retry once
+    for attempt in range(3):
+        try:
+            out = run_steps(params)
+            jax.block_until_ready(out)
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(30)
     t0 = time.perf_counter()
     out = run_steps(params)
     jax.block_until_ready(out)
