@@ -137,7 +137,7 @@ def main():
     dt = time.perf_counter() - t0
     rays_per_s = n_rays * iters / dt
 
-    cfg_key = f"rays_per_s_{n_rays}x{sample_intvs}{occ_tag}"
+    cfg_key = f"rays_per_s_{n_rays}x{sample_intvs}{occ_tag}" + ("_cpu" if CPU else "")
     record = {}
     if os.path.exists(BASELINE_FILE):
         try:
@@ -208,4 +208,24 @@ def bench_ba(opt, sdf_cfg, rad_cfg, ren_cfg, params, quick):
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        # The remote TPU terminal's compile service fails transiently
+        # (HTTP 500 / worker restarts). A bench number on CPU beats no
+        # number: re-exec with --cpu and tag the unit.
+        if CPU:
+            raise
+        import subprocess
+        print(f"# TPU bench failed ({type(e).__name__}); falling back to CPU",
+              file=sys.stderr)
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--cpu"] + [a for a in sys.argv[1:]],
+                           capture_output=True, text=True, timeout=1200)
+        out = r.stdout.strip().splitlines()
+        if r.returncode == 0 and out:
+            rec = json.loads(out[-1])
+            rec["unit"] = rec["unit"] + " (cpu-fallback)"
+            print(json.dumps(rec))
+        else:
+            raise
