@@ -149,7 +149,8 @@ class LevelSfM:
         for cand in pose_graph_left:
             cam = self._make_camera(cand)
             reg = Registration(self.opt, self.cfgs, self.camera_set)
-            ok, ratio, num = reg.pnp(self.params, cam, self.point_set, if_nbv=False)
+            ok, ratio, num = reg.pnp(self.params, cam, self.point_set,
+                                     if_nbv=False, dry_run=True)
             nums.append(num)
             ratios.append(ratio)
             views.append(len(reg.src_cam_id))

@@ -54,10 +54,14 @@ class Registration:
 
     # ------------------------------------------------------------ PnP
     def pnp(self, params, camera_new: entities.Camera, pointset: entities.PointSet,
-            if_nbv: bool = False) -> Tuple[bool, float, int]:
+            if_nbv: bool = False, dry_run: bool = False) -> Tuple[bool, float, int]:
         """SDF-filtered PnP RANSAC + refinement (ref `:75-126`).
 
-        Returns (success, inlier_ratio, inlier_count)."""
+        Returns (success, inlier_ratio, inlier_count). ``dry_run`` scores
+        without touching scene state (used by NBV selection — deviation:
+        the reference's PnP-scoring NBV pollutes the point-set feature
+        tracks with entries for candidate cameras that are then
+        discarded, `LevelS2fM.py:247-272` + `Registration.py:113-116`)."""
         pairs = self.get_pairs(camera_new, pointset)
         if pairs is None:
             return False, 0.0, 0
@@ -80,6 +84,8 @@ class Registration:
         print(f"PnP: {len(id_3d)} (found), {len(p3d_m)} (masked), {len(id_2d_in)} (inliers)")
         if (len(id_2d_in) < 100) and not if_nbv:
             return False, len(id_2d_in) / max(len(p3d_m), 1), len(id_2d_in)
+        if dry_run:
+            return True, len(id_2d_in) / max(len(p3d_m), 1), len(id_2d_in)
         SE3 = np.concatenate([res.R, res.t.reshape(3, 1)], axis=-1)
         camera_new.se3 = np.asarray(lie.SE3_to_se3(jnp.asarray(SE3[None], jnp.float32)))[0]
         new_cam_pos = len(self.cameraset)  # position the new camera will take
