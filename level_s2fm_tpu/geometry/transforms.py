@@ -130,6 +130,25 @@ def evaluate_camera_alignment(pose_aligned, pose_GT):
     return R_error, t_error, ate
 
 
+def convert_NDC(center, ray, intr, near=1.0):
+    """Reparametrize rays into normalized device coordinates
+    (ref `camera.py:268-285`; +z-facing convention)."""
+    center = center + (near - center[..., 2:]) / ray[..., 2:] * ray
+    cx, cy, cz = center[..., 0], center[..., 1], center[..., 2]
+    rx, ry, rz = ray[..., 0], ray[..., 1], ray[..., 2]
+    scale_x = intr[:, 0, 0] / intr[:, 0, 2]
+    scale_y = intr[:, 1, 1] / intr[:, 1, 2]
+    cnx = scale_x[:, None] * (cx / cz)
+    cny = scale_y[:, None] * (cy / cz)
+    cnz = 1 - 2 * near / cz
+    rnx = scale_x[:, None] * (rx / rz - cx / cz)
+    rny = scale_y[:, None] * (ry / rz - cy / cz)
+    rnz = 2 * near / cz
+    center_ndc = jnp.stack([cnx, cny, cnz], axis=-1)
+    ray_ndc = jnp.stack([rnx, rny, rnz], axis=-1)
+    return center_ndc, ray_ndc
+
+
 def get_novel_view_poses(pose_anchor, N=60, scale=1.0):
     """Circular oscillating novel-view trajectory (ref `camera.py:313-323`)."""
     theta = jnp.arange(N) / N * 2 * jnp.pi

@@ -96,19 +96,60 @@ def render_full_image(params, cfgs, pose, intr, H: int, W: int,
             "normal": np.concatenate(nrms).reshape(H, W, 3)}
 
 
+def render_traced_depth(params, sdf_cfg, pose, intr, H: int, W: int,
+                        factor: int = 1, key=None):
+    """Full-image sphere-traced depth + normals (ref `Camera.py:216-253`;
+    the eval mode downscales by `factor`)."""
+    import jax.random as jrandom
+    from ..fields import sdf as sdf_mod
+    if factor > 1:
+        H, W = H // factor, W // factor
+        intr = np.asarray(intr).copy()
+        intr[:2] /= factor
+    grid = T.mesh_grid(H, W)
+    center, ray = T.get_center_and_ray(jnp.asarray(pose)[None],
+                                       jnp.asarray(intr), grid)
+    res = sdf_mod.sphere_tracing(params["sdf"], sdf_cfg, center, ray,
+                                 key=key or jrandom.PRNGKey(0))
+    normals = sdf_mod.gradient(params["sdf"], sdf_cfg, res.pts_surface)
+    n_unit = np.asarray(normals[0]) / (np.linalg.norm(
+        np.asarray(normals[0]), axis=-1, keepdims=True) + 1e-12)
+    return {"depth": np.asarray(res.d_pred[0]).reshape(H, W),
+            "normal": n_unit.reshape(H, W, 3),
+            "finish": np.asarray(res.finish_mask[:, 0]).reshape(H, W)}
+
+
+def write_video(path: str, frames, fps: int = 30):
+    """mp4 writer via cv2 (ref `Camera.py:342-367`); GIF fallback."""
+    frames = [np.asarray(f) for f in frames]
+    try:
+        import cv2
+        h, w = frames[0].shape[:2]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        for f in frames:
+            vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        vw.release()
+    except Exception:
+        import imageio.v2 as imageio
+        imageio.mimsave(os.path.splitext(path)[0] + ".gif", frames, fps=fps,
+                        loop=0)
+
+
 def render_novel_views(params, cfgs, anchor_pose, intr, H, W, n_views=60,
-                       scale=0.1, out_dir: Optional[str] = None):
+                       scale=0.1, out_dir: Optional[str] = None,
+                       video: bool = False):
     """Novel-view trajectory render (ref `Camera.py:313-341`)."""
     poses = T.get_novel_view_poses(jnp.asarray(anchor_pose), N=n_views, scale=scale)
     frames = []
     for i in range(n_views):
         out = render_full_image(params, cfgs, np.asarray(poses[i]), intr, H, W)
-        frames.append(out["rgb"])
+        frames.append((np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8))
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
             import imageio.v2 as imageio
-            imageio.imwrite(os.path.join(out_dir, f"{i}.png"),
-                            (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8))
+            imageio.imwrite(os.path.join(out_dir, f"{i}.png"), frames[-1])
+    if video and out_dir:
+        write_video(os.path.join(out_dir, "novel_view_rgb.mp4"), frames)
     return np.stack(frames)
 
 
