@@ -150,11 +150,28 @@ DEFAULT_BASE = os.path.join(_PKG_ROOT, "configs", "base.yaml")
 DEFAULT_PIPELINE = os.path.join(_PKG_ROOT, "configs", "levels2fm.yaml")
 
 
+def _warn_unknown_keys(base: dict, override: dict, prefix=""):
+    """Non-interactive version of the reference's unknown-option safe check
+    (`utils/options.py:76-93` asks the user; we print a warning)."""
+    known_new = {"yaml", "cpu", "max_views", "refine_again_iters"}
+    for k, v in override.items():
+        path = f"{prefix}{k}"
+        if k not in base and path not in known_new and prefix == "":
+            print(f"[config] warning: option {path!r} not in the yaml "
+                  "defaults (typo?)")
+        elif isinstance(v, dict) and isinstance(base.get(k), dict):
+            _warn_unknown_keys(base[k], v, prefix=path + ".")
+        elif prefix and k not in base:
+            print(f"[config] warning: option {path!r} not in the yaml "
+                  "defaults (typo?)")
+
+
 def build_options(argv: Optional[list[str]] = None, yaml_path: Optional[str] = None) -> Opt:
     """Full option resolution: pipeline defaults <- yaml file <- CLI."""
     opt_cmd = parse_arguments(argv or [])
     yaml_path = yaml_path or opt_cmd.get("yaml", None) or DEFAULT_PIPELINE
     cfg = load_yaml(yaml_path)
+    _warn_unknown_keys(cfg, to_plain(opt_cmd))
     opt = Opt(cfg)
     opt = Opt(_merge(to_plain(opt), to_plain(opt_cmd)))
     process_options(opt)
