@@ -6,8 +6,10 @@ trilinear interpolation so JAX autodiff provides:
   * grads w.r.t. the feature tables (scatter-add, automatic),
   * grads w.r.t. the input positions (needed for SDF normals), and
   * second-order grads (eikonal-through-BA double backward) for free.
-A Pallas kernel version of the same math lives in
-`level_s2fm_tpu/rendering/pallas_kernels.py` for the hot path.
+The gather itself stays in XLA: Mosaic (Pallas-TPU) cannot lower
+large-table vector gathers ("Cannot do int indexing on TPU", verified on
+the chip), and XLA's gather already runs at the measured hardware floor
+(~840M gathers/s on v5e).
 
 Hash-grid hyperparameters follow the reference config
 (`options/config_hash_sdf.json`: L=16, F=2, T=2^19, N_min=16) with the

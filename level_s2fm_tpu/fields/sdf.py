@@ -181,6 +181,28 @@ def gradient(params, cfg: SDFConfig, xyz: jnp.ndarray) -> jnp.ndarray:
     return normal
 
 
+def gradient_chunked(params, cfg: SDFConfig, xyz: jnp.ndarray,
+                     chunk: int = 2048) -> jnp.ndarray:
+    """``gradient`` over large point sets, split into <=``chunk``-point
+    calls inside the same jitted step.
+
+    The remote TPU compiler SIGILLs deterministically on spatial-gradient
+    graphs past a few thousand points per gradient call (bisected: 2.8k
+    OK, 5.6k crash); chunking via ``lax.map`` keeps each traced gradient
+    body at ``chunk`` points while regularizing the reference's full 4096+
+    sample count (ref `Registration.py:258`, `models/SDF.py:223`).
+    """
+    flat = xyz.reshape(-1, 3)
+    n = flat.shape[0]
+    if n <= chunk:
+        return gradient(params, cfg, xyz)
+    pad = (-n) % chunk
+    flat_p = jnp.pad(flat, ((0, pad), (0, 0)))
+    parts = flat_p.reshape(-1, chunk, 3)
+    out = jax.lax.map(lambda p: gradient(params, cfg, p), parts)
+    return out.reshape(-1, 3)[:n].reshape(xyz.shape)
+
+
 def forward_ab(params, cfg: SDFConfig):
     beta = jnp.exp(params["beta"] * cfg.beta_speed)
     return 1.0 / beta, beta
@@ -216,18 +238,28 @@ class SphereTraceResult(NamedTuple):
     pts_surface: jnp.ndarray   # [B,N,3] surface points center + d*ray (differentiable)
 
 
-def sphere_tracing(params, cfg: SDFConfig, ray0: jnp.ndarray, ray_dir: jnp.ndarray,
-                   key: Optional[jax.Array] = None,
-                   track_subsample: int = 4096,
-                   max_sample_pts: Optional[int] = 2048) -> SphereTraceResult:
-    """Bidirectional sphere tracing of the SDF along rays.
+class SphereMarch(NamedTuple):
+    """Detached march state (ref runs the march under no_grad,
+    `models/SDF.py:137-200`); feed to ``sphere_reeval`` for the
+    differentiable depth."""
+    track: jnp.ndarray         # [iters, BN, 3] positions appended per step
+    contrib: jnp.ndarray       # [iters] bool — steps that executed
+    last_idx: jnp.ndarray      # [] index of the last contributing step
+    min_dis: jnp.ndarray       # [BN]
+    max_dis: jnp.ndarray       # [BN]
+    acc_e: jnp.ndarray         # [BN] backward-march accumulated depth
+    valid: jnp.ndarray         # [BN] ray-AABB hit mask
+
+
+def sphere_march(params, cfg: SDFConfig, ray0: jnp.ndarray,
+                 ray_dir: jnp.ndarray) -> SphereMarch:
+    """Bidirectional fixed-trip sphere-trace march (detached).
 
     ray0/ray_dir: [B,N,3] (ray_dir need not be unit; steps are in sdf units
     times the direction, matching the reference which also uses
     unnormalized, intrinsics-scaled rays).
     """
-    B, N = ray0.shape[0], ray0.shape[1]
-    BN = B * N
+    BN = ray0.shape[0] * ray0.shape[1]
     o = ray0.reshape(BN, 3)
     d = ray_dir.reshape(BN, 3)
 
@@ -293,40 +325,93 @@ def sphere_tracing(params, cfg: SDFConfig, ray0: jnp.ndarray, ray_dir: jnp.ndarr
     track = track.at[0].set(jnp.where(executed[0], track[0], start0))
     contrib = executed.at[0].set(True)  # entry point always contributes
     last_idx = jnp.maximum(jnp.max(jnp.where(contrib, jnp.arange(cfg.iters_max), 0)), 0)
+    return SphereMarch(track=p_detach(track), contrib=contrib,
+                       last_idx=last_idx, min_dis=p_detach(min_dis),
+                       max_dis=p_detach(max_dis), acc_e=p_detach(acc_e),
+                       valid=valid)
 
-    # -------- differentiable re-evaluation along the track ------------------
-    sdf_tracks = infer_sdf(params, cfg, track)[..., 0]          # [iters, BN]
-    sdf_sum = jnp.sum(sdf_tracks * contrib[:, None], axis=0)     # [BN]
-    d_pred = sdf_sum + min_dis
-    d_pred = jnp.minimum(d_pred, max_dis)
-    sdf_last = sdf_tracks[last_idx]                              # [BN]
+
+def march_slice(m: SphereMarch, lo: int, hi) -> SphereMarch:
+    """Slice a march over its ray axis (for branch-specific re-eval of a
+    combined-batch march). ``contrib``/``last_idx`` stay global: with a
+    combined batch a step executes when ANY ray is unfinished, exactly as
+    a single bigger batch would in the reference's loop."""
+    return SphereMarch(track=m.track[:, lo:hi], contrib=m.contrib,
+                       last_idx=m.last_idx, min_dis=m.min_dis[lo:hi],
+                       max_dis=m.max_dis[lo:hi], acc_e=m.acc_e[lo:hi],
+                       valid=m.valid[lo:hi])
+
+
+def sphere_reeval(params, cfg: SDFConfig, m: SphereMarch,
+                  ray0: jnp.ndarray, ray_dir: jnp.ndarray):
+    """Differentiable re-evaluation of the SDF along a stored march track:
+    depth = t_min + sum(sdf(track)) exactly as `models/SDF.py:206-210`.
+
+    Returns (d_pred [B,N], sdf_surf [BN], finish_mask [BN,1],
+    pts_surface [B,N,3]). Pass ``jax.lax.stop_gradient``-ed params to get
+    the trace value without the table/MLP backward (frozen-trace DC in
+    BA, sanctioned because the reference detaches the march itself).
+    """
+    B, N = ray0.shape[0], ray0.shape[1]
+    p_detach = jax.lax.stop_gradient
+    sdf_tracks = infer_sdf(params, cfg, m.track)[..., 0]         # [iters, BN]
+    sdf_sum = jnp.sum(sdf_tracks * m.contrib[:, None], axis=0)   # [BN]
+    d_pred = sdf_sum + m.min_dis
+    d_pred = jnp.minimum(d_pred, m.max_dis)
+    sdf_last = sdf_tracks[m.last_idx]                            # [BN]
     finish_mask = (jnp.abs(p_detach(sdf_last)) < cfg.finish_threshold)[:, None]
-    finish_mask = finish_mask & valid[:, None]
-
+    finish_mask = finish_mask & m.valid[:, None]
     pts_surface = (ray0 + ray_dir * d_pred.reshape(B, N)[..., None])
+    return d_pred.reshape(B, N), sdf_last, finish_mask, pts_surface
 
-    # -------- free-space + track samples for eikonal regularization --------
-    if key is None:
-        key = jax.random.PRNGKey(0)
+
+def march_samples(m: SphereMarch, ray0, ray_dir, key,
+                  track_subsample: int = 4096,
+                  max_sample_pts: Optional[int] = 4096) -> jnp.ndarray:
+    """Free-space + track sample points for eikonal regularization
+    (detached; ref `models/SDF.py:216-225`). Returns [1,K,3]."""
+    BN = m.min_dis.shape[0]
+    p_detach = jax.lax.stop_gradient
+    o_d = p_detach(ray0.reshape(BN, 3))
+    d_d = p_detach(ray_dir.reshape(BN, 3))
     k1, k2, k3 = jax.random.split(key, 3)
     factor_rand = jax.random.uniform(k1, (BN,))
-    d_up = jnp.minimum(1.5 * acc_e, max_dis)
-    d_sample = (1 - factor_rand) * d_up + factor_rand * min_dis
+    d_up = jnp.minimum(1.5 * m.acc_e, m.max_dis)
+    d_sample = (1 - factor_rand) * d_up + factor_rand * m.min_dis
     free_pts = o_d + d_sample[:, None] * d_d                     # [BN,3]
     n_pick = min(track_subsample, BN)
     pick = jax.random.permutation(k2, BN)[:n_pick]
-    track_pick = jnp.swapaxes(track, 0, 1)[pick].reshape(-1, 3)  # [n_pick*iters,3]
+    track_pick = jnp.swapaxes(m.track, 0, 1)[pick].reshape(-1, 3)
     sample_pts = jnp.concatenate([track_pick, free_pts], axis=0)
     if max_sample_pts is not None and sample_pts.shape[0] > max_sample_pts:
-        # cap the eikonal sample count: (a) it is a random regularizer
-        # subsample to begin with (the reference caps at 4096 rays,
-        # `models/SDF.py:223`); (b) the remote TPU compiler SIGILLs on
-        # spatial-gradient graphs past a few thousand points (bisected
-        # empirically) — keep each gradient() call under that size.
+        # random regularizer subsample (the reference caps at 4096 rays,
+        # `models/SDF.py:223`). Downstream gradient() calls chunk to
+        # <=2048 points per call (see ``gradient_chunked``) to stay under
+        # the remote compiler's SIGILL threshold.
         pick2 = jax.random.permutation(k3, sample_pts.shape[0])[:max_sample_pts]
         sample_pts = sample_pts[pick2]
-    sample_pts = sample_pts[None]
+    return p_detach(sample_pts[None])
 
-    return SphereTraceResult(d_pred=d_pred.reshape(B, N), sdf_surf=sdf_last,
-                             sample_pts=p_detach(sample_pts),
+
+def sphere_tracing(params, cfg: SDFConfig, ray0: jnp.ndarray, ray_dir: jnp.ndarray,
+                   key: Optional[jax.Array] = None,
+                   track_subsample: int = 4096,
+                   max_sample_pts: Optional[int] = 4096,
+                   reeval_params=None) -> SphereTraceResult:
+    """Bidirectional sphere tracing: march + differentiable re-eval.
+
+    ``reeval_params`` overrides the parameters used for the differentiable
+    track re-evaluation (e.g. pass stop_gradient-ed params for a
+    value-only trace).
+    """
+    m = sphere_march(params, cfg, ray0, ray_dir)
+    d_pred, sdf_last, finish_mask, pts_surface = sphere_reeval(
+        reeval_params if reeval_params is not None else params,
+        cfg, m, ray0, ray_dir)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    sample_pts = march_samples(m, ray0, ray_dir, key,
+                               track_subsample, max_sample_pts)
+    return SphereTraceResult(d_pred=d_pred, sdf_surf=sdf_last,
+                             sample_pts=sample_pts,
                              finish_mask=finish_mask, pts_surface=pts_surface)

@@ -39,6 +39,10 @@ class RendererConfig:
     # band (TPU-native fixed-K replacement for vren's variable-length
     # compaction). None = evaluate all samples (reference behavior).
     compact_samples: Optional[int] = None
+    # fused Pallas Laplace-sigma+composite kernel on the compacted path
+    # (rendering/pallas_composite.py). None = auto (Pallas on TPU, jnp
+    # reference elsewhere); True/False forces.
+    fused_composite: Optional[bool] = None
 
 
 def config_from_opt(opt) -> RendererConfig:
@@ -53,6 +57,7 @@ def config_from_opt(opt) -> RendererConfig:
         bgcolor=tuple(bg),
         ray_chunk=opt.get("Renderer", {}).get("ray_chunk", 2048),
         compact_samples=opt.get("Renderer", {}).get("compact_samples", None),
+        fused_composite=opt.get("Renderer", {}).get("fused_composite", None),
     )
 
 
@@ -298,17 +303,28 @@ def _render_impl(sdf_params, sdf_cfg: sdf_mod.SDFConfig,
     all_enc = jnp.concatenate([p3d, normals, ray_enc, geo_enc], axis=-1)
     rgbs = radf.infer_app(rad_params, rad_cfg, all_enc)
 
-    densities = sdf_to_sigma(sdfs, alpha_r, beta_r)
     if sample_valid is not None:
-        dens = densities[..., 0] * sample_valid
-        deltas = jnp.broadcast_to(bin_w[..., None], dens.shape)
-        rgb, prob = composite_explicit(ray, rgbs, dens, deltas)
-        w_depth = depth_samples
-        w_normal = normals
-    else:
-        rgb, prob = composite(ray, rgbs, densities[..., 0], depth_samples)
-        w_depth = depth_samples[..., :-1, :]
-        w_normal = normals[..., :-1, :]
+        deltas = jnp.broadcast_to(bin_w[..., None], sdfs[..., 0].shape)
+        fused = cfg.fused_composite
+        if fused is None:
+            fused = jax.default_backend() != "cpu"
+        from . import pallas_composite as pc
+        rgb_s, depth_mlp, normal_mlp, opacity = pc.composite_fused(
+            ray, rgbs, sdfs[..., 0], sample_valid, deltas,
+            depth_samples[..., 0], normals, alpha_r[0], beta_r[0],
+            use_pallas=bool(fused))
+        bg = jnp.asarray(cfg.bgcolor, rgb_s.dtype)
+        rgb = rgb_s + (1 - opacity) * bg
+        depth_mlp = depth_mlp + (1 - opacity) * depth_samples[..., -1, :]
+        normal_mlp = normal_mlp + (1 - opacity) * normals[..., -1, :]
+        return {"rgb": rgb, "sdfs_volume": sdfs, "normals": normals,
+                "depth_mlp": depth_mlp, "normal_mlp": normal_mlp,
+                "opacity": opacity}
+
+    densities = sdf_to_sigma(sdfs, alpha_r, beta_r)
+    rgb, prob = composite(ray, rgbs, densities[..., 0], depth_samples)
+    w_depth = depth_samples[..., :-1, :]
+    w_normal = normals[..., :-1, :]
     opacity = jnp.sum(prob, axis=2)  # [B,HW,1]
 
     bg = jnp.asarray(cfg.bgcolor, rgb.dtype)

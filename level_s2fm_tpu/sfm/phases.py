@@ -64,7 +64,7 @@ def project_points_per(pts, poses, K, eps=EPS):
 # ============================================================================
 
 def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
-                tracing=None, occ=None):
+                tracing=None, occ=None, dc_trace_frozen: bool = False):
     """Random-ray multi-view render + the standard loss bundle.
 
     poses [C,3,4]; intr [3,3]; images [C,HW,3]; grid [HW,2].
@@ -72,6 +72,13 @@ def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
       {"center" [C,Nt,3], "ray" [C,Nt,3], "xyz" [C,Nt,3], "mask" [C,Nt]}
       for the multi-view sphere-trace consistency loss
       (`Camera.py:476-488`).
+    ONE sphere march serves both the DC-loss rays and the tracing-branch
+    keypoint rays (the reference runs two separate traces,
+    `Camera.py:476-516`; the combined fixed-trip march is step-for-step
+    identical when the loop runs to its iteration cap, the common case).
+    ``dc_trace_frozen`` re-evaluates the DC branch's track with a frozen
+    SDF (value-only): used by BA, where the reference detaches the march
+    anyway and pose/field gradients flow through the rendered depth.
     Returns dict of losses/metrics (all scalars) plus 'normals', 'mask_bg'.
     """
     C = poses.shape[0]
@@ -88,17 +95,32 @@ def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
     rgbs_gt = pmesh.constrain(rgbs_gt, axis=1)
 
     out = {}
-    # tracing-consistency loss on a random camera's tracked keypoints
+    # combined ray set: DC rays for all cams + (optionally) the random
+    # camera's tracked keypoints — one march, branch-specific re-eval
+    flat_c = centers.reshape(-1, 3)
+    flat_r = rays.reshape(-1, 3)
+    n_dc = flat_c.shape[0]
     if tracing is not None:
         cam_j = jax.random.randint(k_cam, (), 0, C)
-        tc = tracing["center"][cam_j][None]
-        tr = tracing["ray"][cam_j][None]
+        tc = tracing["center"][cam_j]
+        tray = tracing["ray"][cam_j]
         txyz = tracing["xyz"][cam_j]
         tmask = tracing["mask"][cam_j]
-        tres = sdf_mod.sphere_tracing(params["sdf"], cfgs.sdf, tc, tr, key=k_trace)
-        tdist = jnp.linalg.norm(txyz - tres.pts_surface[0], axis=-1)
+        all_c = jnp.concatenate([flat_c, tc], 0)[None]
+        all_d = jnp.concatenate([flat_r, tray], 0)[None]
+    else:
+        all_c = flat_c[None]
+        all_d = flat_r[None]
+
+    march = sdf_mod.sphere_march(params["sdf"], cfgs.sdf, all_c, all_d)
+
+    if tracing is not None:
+        m_tr = sdf_mod.march_slice(march, n_dc, None)
+        _, sdf_surf_tr, _, pts_surf_tr = sdf_mod.sphere_reeval(
+            params["sdf"], cfgs.sdf, m_tr, tc[None], tray[None])
+        tdist = jnp.linalg.norm(txyz - pts_surf_tr[0], axis=-1)
         out["tracing_loss"] = L.masked_mean(tdist, tmask)
-        out["sdfs_traced"] = tres.sdf_surf
+        out["sdfs_traced"] = sdf_surf_tr
         out["tmask"] = tmask
     else:
         out["tracing_loss"] = jnp.asarray(0.0)
@@ -108,11 +130,14 @@ def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
     rgb = ren["rgb"]
     depth_mlp = ren["depth_mlp"]
 
-    st = sdf_mod.sphere_tracing(params["sdf"], cfgs.sdf,
-                                centers.reshape(1, -1, 3), rays.reshape(1, -1, 3),
-                                key=k_st)
-    d_points = st.d_pred.reshape(C, n_rays, 1)
-    mask_finish = st.finish_mask.reshape(C, n_rays)
+    dc_params = (jax.tree.map(jax.lax.stop_gradient, params["sdf"])
+                 if dc_trace_frozen else params["sdf"])
+    m_dc = sdf_mod.march_slice(march, 0, n_dc)
+    d_dc, _, fin_dc, _ = sdf_mod.sphere_reeval(
+        dc_params, cfgs.sdf, m_dc,
+        centers.reshape(1, -1, 3), rays.reshape(1, -1, 3))
+    d_points = d_dc.reshape(C, n_rays, 1)
+    mask_finish = fin_dc.reshape(C, n_rays)
 
     mean_gt = rgbs_gt.mean(axis=-1)
     mask_bg = (mean_gt < 0.95) & (mean_gt > 0.05)
@@ -317,11 +342,11 @@ class GeoInitPhase:
 
     def __init__(self, cfgs: PhaseCfgs, weights: Dict, n_segments: int,
                  lr_sdf=1e-3, lr_sdf_end=1e-3, max_iter=500, reproj_max=15.0,
-                 exist_subsample=2048):
-        # deviation: reference samples 4000 existing points
-        # (`Registration.py:258`); capped at 2048 because the remote TPU
-        # compiler SIGILLs on spatial-gradient graphs past a few thousand
-        # points (see sphere_tracing.max_sample_pts)
+                 exist_subsample=4096):
+        # reference samples 4000 existing points (`Registration.py:258`);
+        # gradient calls are chunked to <=2048 points each
+        # (sdf.gradient_chunked) to stay under the remote compiler's
+        # SIGILL threshold while keeping the full regularizer count
         self.cfgs = cfgs
         self.weights = dict(weights)
         self.max_iter = max_iter
@@ -402,8 +427,8 @@ class GeoInitPhase:
         sdf_cnt = jnp.sum(near) + jnp.sum(kp_mask2)
         sdf_surf = sdf_abs_sum / jnp.maximum(sdf_cnt, 1.0)
 
-        g_samp = sdf_mod.gradient(params["sdf"], cfgs.sdf, tr.sample_pts)
-        g_exist = sdf_mod.gradient(params["sdf"], cfgs.sdf, pe)
+        g_samp = sdf_mod.gradient_chunked(params["sdf"], cfgs.sdf, tr.sample_pts)
+        g_exist = sdf_mod.gradient_chunked(params["sdf"], cfgs.sdf, pe)
         gn = jnp.concatenate([jnp.linalg.norm(g_exist, axis=-1),
                               jnp.linalg.norm(g_samp[0], axis=-1)], 0)
         gmask = jnp.concatenate([pe_mask, jnp.ones(g_samp.shape[1], bool)], 0)
@@ -529,7 +554,8 @@ class BAPhase:
                 pose_input = jax.lax.stop_gradient(pose_input)
             rc = render_core(params, cfgs, key, pose_input, batch["intr"],
                              batch["images"], batch["grid"],
-                             tracing=batch["tracing"], occ=batch.get("occ"))
+                             tracing=batch["tracing"], occ=batch.get("occ"),
+                             dc_trace_frozen=True)
             loss["eikonal_loss"] = eikonal_from_normals(rc["normals"], rc["mask_bg"])
             loss["rgb"] = rc["rgb_loss"]
             loss["DC_Loss"] = rc["DC_loss"]

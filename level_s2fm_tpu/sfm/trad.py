@@ -62,7 +62,7 @@ class SdfFitPhase:
         tracing = L.masked_mean(tdist, batch["kp_mask"])
         sdf_p = sdf_mod.infer_sdf(params["sdf"], cfgs.sdf, batch["pts"])[..., 0]
         sdf_surf = L.masked_mean(jnp.abs(sdf_p), batch["pts_mask"])
-        g = sdf_mod.gradient(params["sdf"], cfgs.sdf, tr.sample_pts)
+        g = sdf_mod.gradient_chunked(params["sdf"], cfgs.sdf, tr.sample_pts)
         eik = L.l1(jnp.linalg.norm(g, axis=-1), 1.0)
         return {"tracing_loss": tracing, "sdf_surf": sdf_surf,
                 "eikonal_loss": eik}
