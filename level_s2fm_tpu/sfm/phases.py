@@ -85,6 +85,15 @@ def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
     HW = cfgs.H * cfgs.W
     k_rays, k_trace, k_cam, k_st = jax.random.split(key, 4)
     n_rays = max(cfgs.rand_rays // C, 1)
+    mesh = pmesh.get_mesh()
+    if mesh is not None:
+        # pad the per-camera ray count up to a mesh multiple so the ray
+        # axis always shards (a non-divisible count silently no-oped the
+        # sharding constraint before); duplicated rays only re-average
+        # identical loss terms
+        nd = mesh.devices.size
+        n_rays = -(-n_rays // nd) * nd
+    n_rays = min(n_rays, HW)
     rays_idx = jax.random.permutation(k_rays, HW)[:n_rays]
     grid_sel = grid[rays_idx]
     centers, rays = T.get_center_and_ray(poses, intr, grid_sel)   # [C,R,3]

@@ -260,8 +260,46 @@ class LevelSfM:
                 return False
             self.it += 1
             self.save_checkpoint(latest=(self.it % int(opt.freq.ckpt) != 0))
+            if int(opt.freq.get("vis", 0)) and self.it % int(opt.freq.vis) == 0:
+                self._view_artifacts(new_id)
         self._final_artifacts(verbose)
         return True
+
+    def _view_artifacts(self, view_id: int):
+        """Per-view in-training artifact dump at ``freq.vis`` — point
+        cloud + cameras + a coarse mesh, plus an optional rendered/traced
+        view when ``freq.vis_render`` is set (ref `pipelines/base.py:131-225`
+        vis_geo_rgb; round-1 only dumped at the end of the run)."""
+        out = self.opt.get("output_path", None)
+        if not out:
+            return
+        try:
+            from ..utils import export as export_mod
+            vis_dir = os.path.join(out, "vis")
+            os.makedirs(vis_dir, exist_ok=True)
+            export_mod.export_pointcloud(
+                self.point_set,
+                os.path.join(vis_dir, f"{self.it:04d}_pointcloud.ply"))
+            export_mod.export_cameras_json(
+                self.camera_set, os.path.join(vis_dir, f"cam{self.it:04d}.json"))
+            export_mod.extract_mesh(
+                self.params, self.sdf_cfg,
+                os.path.join(vis_dir, f"{self.it:04d}_mesh.ply"),
+                resolution=int(self.opt.freq.get("vis_mesh_res", 64)),
+                grid_boundary=(-0.6, 0.6))
+            if int(self.opt.freq.get("vis_render", 0)):
+                import imageio.v2 as imageio
+                import numpy as _np
+                cam = self.camera_set(view_id)
+                img = export_mod.render_full_image(
+                    self.params, self.cfgs, cam.pose(), cam.intr,
+                    self.cfgs.H, self.cfgs.W)
+                imageio.imwrite(
+                    os.path.join(vis_dir, f"{self.it:04d}_render.png"),
+                    (_np.clip(_np.asarray(img["rgb"]), 0, 1) * 255)
+                    .astype(_np.uint8))
+        except Exception as e:  # artifact dumping must never kill a run
+            Log.warn(f"per-view artifact export failed: {e}")
 
     def _final_artifacts(self, verbose=True):
         """Point cloud + camera dump + timing summary

@@ -24,6 +24,30 @@ from ..rendering import renderer as ren_mod
 from . import marching_cubes as mc
 
 
+# SDFConfig is a hashable frozen dataclass: route it through the static
+# path so this single jitted callable is reused across every mesh/export
+# call (a fresh lambda per call would recompile per view — minutes each
+# through the remote-TPU compiler)
+_sdf_eval = jax.jit(lambda params, cfg, pts:
+                    sdf_mod.infer_sdf(params, cfg, pts)[..., 0],
+                    static_argnums=1)
+
+
+def _eval_sdf_chunked(params, sdf_cfg, pts, chunk):
+    vals = []
+    for i in range(0, pts.shape[0], chunk):
+        part = pts[i:i + chunk]
+        if part.shape[0] < chunk:   # pad to keep ONE compiled shape
+            pad = chunk - part.shape[0]
+            padded = np.concatenate([part, np.zeros((pad, 3), part.dtype)])
+            vals.append(np.asarray(_sdf_eval(params["sdf"], sdf_cfg,
+                                             jnp.asarray(padded)))[:part.shape[0]])
+        else:
+            vals.append(np.asarray(_sdf_eval(params["sdf"], sdf_cfg,
+                                             jnp.asarray(part))))
+    return np.concatenate(vals)
+
+
 def extract_mesh(params, sdf_cfg, path: str, resolution: int = 256,
                  grid_boundary=(-1.0, 1.0), level: float = 0.0,
                  chunk: int = 65536):
@@ -31,17 +55,68 @@ def extract_mesh(params, sdf_cfg, path: str, resolution: int = 256,
     lo, hi = grid_boundary
     xs = np.linspace(lo, hi, resolution, dtype=np.float32)
     grid = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1).reshape(-1, 3)
-    sdf_fn = jax.jit(lambda p: sdf_mod.infer_sdf(params["sdf"], sdf_cfg, p)[..., 0])
-    vals = []
-    for i in range(0, grid.shape[0], chunk):
-        vals.append(np.asarray(sdf_fn(jnp.asarray(grid[i:i + chunk]))))
-    vol = np.concatenate(vals).reshape(resolution, resolution, resolution)
+    vol = _eval_sdf_chunked(params, sdf_cfg, grid, chunk)
+    vol = vol.reshape(resolution, resolution, resolution)
     spacing = (hi - lo) / (resolution - 1)
     verts, faces = mc.marching_cubes(vol, level=level, origin=(lo, lo, lo),
                                      spacing=(spacing,) * 3)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     mc.write_ply(path, verts, faces)
     return verts, faces
+
+
+def extract_mesh_high_res(params, sdf_cfg, path: str, resolution: int = 512,
+                          low_resolution: int = 100,
+                          grid_boundary=(-1.0, 1.0), level: float = 0.0,
+                          chunk: int = 65536):
+    """Two-pass high-resolution mesh: low-res MC to find the surface, PCA
+    of its vertices to fit a tight principal-axis-aligned box, high-res MC
+    over the re-gridded box (ref `utils/plots.py:140-223`, used at
+    `LevelS2fM.py:228-230`). Falls back to the single-pass mesh when the
+    low-res pass finds no surface."""
+    lo, hi = grid_boundary
+
+    def eval_grid(pts):
+        return _eval_sdf_chunked(params, sdf_cfg, pts, chunk)
+
+    # pass 1: coarse localization
+    xs = np.linspace(lo, hi, low_resolution, dtype=np.float32)
+    grid = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1).reshape(-1, 3)
+    vol = eval_grid(grid).reshape(low_resolution, low_resolution, low_resolution)
+    sp = (hi - lo) / (low_resolution - 1)
+    verts, faces = mc.marching_cubes(vol, level=level, origin=(lo, lo, lo),
+                                     spacing=(sp,) * 3)
+    if len(verts) == 0:
+        return extract_mesh(params, sdf_cfg, path, resolution=resolution,
+                            grid_boundary=grid_boundary, level=level,
+                            chunk=chunk)
+
+    # PCA frame of the coarse surface (ref plots.py:154-166)
+    mean = verts.mean(axis=0)
+    cov = np.cov((verts - mean).T)
+    _, Rpca = np.linalg.eigh(cov)          # columns = principal axes
+    v_pca = (verts - mean) @ Rpca
+    vmin = v_pca.min(axis=0) - 0.05
+    vmax = v_pca.max(axis=0) + 0.05
+
+    # pass 2: high-res grid in the PCA-aligned tight box
+    axes = [np.linspace(vmin[d], vmax[d], resolution, dtype=np.float32)
+            for d in range(3)]
+    gg = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+    pts_world = gg @ Rpca.T + mean
+    vol2 = eval_grid(pts_world.astype(np.float32)).reshape(
+        resolution, resolution, resolution)
+    spacing2 = [(vmax[d] - vmin[d]) / (resolution - 1) for d in range(3)]
+    v2, f2 = mc.marching_cubes(vol2, level=level,
+                               origin=tuple(vmin), spacing=tuple(spacing2))
+    if len(v2) == 0:
+        return extract_mesh(params, sdf_cfg, path, resolution=resolution,
+                            grid_boundary=grid_boundary, level=level,
+                            chunk=chunk)
+    v2_world = v2 @ Rpca.T + mean
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    mc.write_ply(path, v2_world.astype(np.float32), f2)
+    return v2_world, f2
 
 
 def export_pointcloud(pointset, path: str):
@@ -159,9 +234,10 @@ def export_results(opt, model, resolution: int = 256):
     out = opt.output_path
     mesh_dir = os.path.join(out, "mesh")
     os.makedirs(mesh_dir, exist_ok=True)
-    extract_mesh(model.params, model.sdf_cfg,
-                 os.path.join(mesh_dir, "high_res.ply"), resolution=resolution,
-                 grid_boundary=(-0.6, 0.6))
+    extract_mesh_high_res(model.params, model.sdf_cfg,
+                          os.path.join(mesh_dir, "high_res.ply"),
+                          resolution=resolution,
+                          grid_boundary=(-0.6, 0.6))
     export_pointcloud(model.point_set, os.path.join(out, "pointcloud.ply"))
     export_cameras_json(model.camera_set, os.path.join(out, "cameras.json"))
     if len(model.camera_set):

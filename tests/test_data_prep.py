@@ -82,3 +82,27 @@ def test_sift_preparation_and_prepared_load(dtu_scene):
     m10 = n_views[1]["indxes"][0]   # image 1 vs image 0
     assert m01.shape == m10.shape
     np.testing.assert_array_equal(m01[:, 0], m10[:, 1])
+
+
+def test_parse_mapper_log_fixture():
+    """Mapper-log parse recovers the true registration order (init pair
+    first, then Registering lines, dedup first-wins)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(REPO, "preparation"))
+    from main import parse_mapper_log
+    log = """
+==============================================================================
+Finding good initial image pair
+==============================================================================
+  Initializing with image pair #7 and #3
+==============================================================================
+Registering image #5 (3)
+==============================================================================
+  => Image sees 182 / 257 points
+Registering image #1 (4)
+  => Image sees 120 / 200 points
+Retriangulation
+Registering image #5 (4)
+Registering image #9 (5)
+"""
+    assert parse_mapper_log(log) == [7, 3, 5, 1, 9]
