@@ -38,6 +38,15 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+    # persistent compilation cache: the remote-TPU compile costs minutes
+    # per program; cached executables load in seconds on re-runs
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from level_s2fm_tpu.config import Opt

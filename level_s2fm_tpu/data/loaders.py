@@ -26,7 +26,14 @@ import numpy as np
 from . import base
 
 
-def _raw_size(dataset: str) -> Tuple[int, int]:
+def _raw_size(dataset: str, opt=None) -> Tuple[int, int]:
+    """Native capture resolution per dataset. ``opt.data.raw_size``
+    overrides (needed for self-rendered DTU-format scenes whose images
+    are not 1200x1600)."""
+    if opt is not None:
+        rs = opt.data.get("raw_size") or None
+        if rs:
+            return tuple(rs)
     return {"DTU": (1200, 1600), "ETH3D": (4134, 6204),
             "BlendedMVS": (576, 768), "scannet": (968, 1296)}.get(
         dataset, (None, None))
@@ -42,7 +49,7 @@ def load_dtu(opt) -> Dict:
     n = len(fnames)
     cams = np.load(os.path.join(root_data, "cameras.npz"))
     H, W = opt.data.image_size
-    rawH, rawW = _raw_size("DTU")
+    rawH, rawW = _raw_size("DTU", opt)
     fx, fy = rawW / W, rawH / H
     intrs, poses, images = [], [], []
     for i in range(n):
@@ -82,11 +89,11 @@ def _load_txt_scene(opt, raw_hw, bg_white=False) -> Dict:
 
 
 def load_eth3d(opt) -> Dict:
-    return _load_txt_scene(opt, _raw_size("ETH3D"))
+    return _load_txt_scene(opt, _raw_size("ETH3D", opt))
 
 
 def load_blendedmvs(opt) -> Dict:
-    return _load_txt_scene(opt, _raw_size("BlendedMVS"), bg_white=True)
+    return _load_txt_scene(opt, _raw_size("BlendedMVS", opt), bg_white=True)
 
 
 def load_scannet(opt) -> Dict:
@@ -97,7 +104,7 @@ def load_scannet(opt) -> Dict:
     freq = int(opt.data.get("freq_frame", 1))
     fnames = fnames[::freq]
     H, W = opt.data.image_size
-    rawH, rawW = _raw_size("scannet")
+    rawH, rawW = _raw_size("scannet", opt)
     fx, fy = rawW / W, rawH / H
     K_raw = np.loadtxt(os.path.join(path, "intrinsic",
                                     "intrinsic_color.txt")).astype(np.float32)[:3, :3]

@@ -30,15 +30,56 @@ def _look_at_w2c(cam_pos: np.ndarray, target: np.ndarray, up=(0, 1, 0)) -> np.nd
     return np.concatenate([R, t[:, None]], axis=1).astype(np.float32)
 
 
-def _sphere_color(p: np.ndarray) -> np.ndarray:
-    """Smooth position-dependent albedo in (0.1, 0.9)."""
+def _sphere_color(p: np.ndarray, detail: float = 0.0) -> np.ndarray:
+    """Position-dependent albedo in (0.1, 0.9). ``detail`` adds
+    high-frequency bands so SIFT finds corners on rendered images (needed
+    when a scene goes through the real preparation pipeline)."""
     s = np.stack([np.sin(3.1 * p[..., 0]) * np.cos(2.3 * p[..., 1]),
                   np.sin(2.7 * p[..., 1]) * np.cos(3.7 * p[..., 2]),
                   np.sin(1.9 * p[..., 2]) * np.cos(2.9 * p[..., 0])], axis=-1)
-    return 0.5 + 0.4 * s
+    c = 0.5 + 0.4 * s
+    if detail > 0:
+        c = np.clip(c + detail * (_random_texture(p) - 0.5), 0.05, 0.95)
+    return c
 
 
-def _raycast_sphere(pose_w2c, K, H, W, rad):
+_TEX_CACHE = {}
+
+
+def _random_texture(p: np.ndarray, res: int = 256, seed: int = 1234):
+    """Non-repeating random texture sampled by spherical coordinates.
+
+    A periodic analytic texture self-matches under SIFT's ratio test;
+    a seeded random map gives every surface patch a unique fingerprint,
+    which is what the real preparation pipeline needs."""
+    key = (res, seed)
+    if key not in _TEX_CACHE:
+        rng = np.random.default_rng(seed)
+        tex = rng.uniform(size=(res, res, 3)).astype(np.float32)
+        # smooth to a feature scale of a few texels: sub-texel detail
+        # aliases view-dependently and breaks descriptor matching
+        for _ in range(6):
+            tex = 0.5 * tex + 0.125 * (np.roll(tex, 1, 0) + np.roll(tex, -1, 0)
+                                       + np.roll(tex, 1, 1) + np.roll(tex, -1, 1))
+        t = tex - tex.mean()
+        tex = 0.5 + 0.5 * t / (np.abs(t).max() + 1e-9)   # re-stretch contrast
+        _TEX_CACHE[key] = tex
+    tex = _TEX_CACHE[key]
+    r = np.linalg.norm(p, axis=-1) + 1e-12
+    theta = np.arccos(np.clip(p[..., 2] / r, -1, 1)) / np.pi          # [0,1]
+    phi = (np.arctan2(p[..., 1], p[..., 0]) + np.pi) / (2 * np.pi)    # [0,1]
+    # bilinear sample
+    uf = theta * (res - 1)
+    vf = phi * (res - 1)
+    u0 = np.clip(np.floor(uf).astype(np.int64), 0, res - 2)
+    v0 = np.clip(np.floor(vf).astype(np.int64), 0, res - 2)
+    du = (uf - u0)[..., None]
+    dv = (vf - v0)[..., None]
+    return (tex[u0, v0] * (1 - du) * (1 - dv) + tex[u0 + 1, v0] * du * (1 - dv)
+            + tex[u0, v0 + 1] * (1 - du) * dv + tex[u0 + 1, v0 + 1] * du * dv)
+
+
+def _raycast_sphere(pose_w2c, K, H, W, rad, detail: float = 0.0):
     """Analytic render of the textured sphere; returns [H,W,3] float32."""
     R, t = pose_w2c[:, :3], pose_w2c[:, 3]
     cam_pos = -R.T @ t
@@ -55,7 +96,7 @@ def _raycast_sphere(pose_w2c, K, H, W, rad):
     tdep = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a), 0.0)
     pts = cam_pos[None] + tdep[:, None] * dirs
     img = np.zeros((H * W, 3), np.float32)
-    img[hit] = _sphere_color(pts[hit])
+    img[hit] = _sphere_color(pts[hit], detail=detail)
     return img.reshape(H, W, 3)
 
 
@@ -72,7 +113,8 @@ class SyntheticScene:
 
 
 def make_scene(n_views=4, H=64, W=64, n_points=256, sphere_rad=0.5,
-               ring_rad=2.0, seed=0, noise_px=0.0) -> SyntheticScene:
+               ring_rad=2.0, seed=0, noise_px=0.0,
+               detail: float = 0.0) -> SyntheticScene:
     rng = np.random.default_rng(seed)
     f = 0.9 * W
     K = np.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
@@ -92,7 +134,8 @@ def make_scene(n_views=4, H=64, W=64, n_points=256, sphere_rad=0.5,
                               -ring_rad * np.cos(ang)])
         pose = _look_at_w2c(cam_pos, np.zeros(3))
         poses.append(pose)
-        images.append(_raycast_sphere(pose, K, H, W, sphere_rad))
+        images.append(_raycast_sphere(pose, K, H, W, sphere_rad,
+                                      detail=detail))
     poses = np.stack(poses)
     images = np.stack(images)
 

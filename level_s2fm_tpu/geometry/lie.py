@@ -63,35 +63,31 @@ def skew(w):
     ], axis=-2)
 
 
-def _taylor_A(x, nth=10):
-    # sin(x)/x
-    ans = jnp.zeros_like(x)
-    denom = 1.0
-    for i in range(nth + 1):
-        if i > 0:
-            denom *= (2 * i) * (2 * i + 1)
-        ans = ans + (-1) ** i * x ** (2 * i) / denom
-    return ans
+# The three standard exp-map coefficient functions, written closed-form
+# with a where-protected small-angle series (NOT the reference's unrolled
+# Taylor loops): A = sin(x)/x, B = (1-cos x)/x^2, C = (x-sin x)/x^3.
+# The substituted operand inside jnp.where keeps grads (and second-order
+# grads, needed when poses sit inside rendered losses) NaN-free at x=0.
+
+_SMALL = 1e-4
 
 
-def _taylor_B(x, nth=10):
-    # (1-cos(x))/x**2
-    ans = jnp.zeros_like(x)
-    denom = 1.0
-    for i in range(nth + 1):
-        denom *= (2 * i + 1) * (2 * i + 2)
-        ans = ans + (-1) ** i * x ** (2 * i) / denom
-    return ans
+def _sinc(x):
+    safe = jnp.where(jnp.abs(x) < _SMALL, jnp.ones_like(x), x)
+    return jnp.where(jnp.abs(x) < _SMALL, 1.0 - x * x / 6.0,
+                     jnp.sin(safe) / safe)
 
 
-def _taylor_C(x, nth=10):
-    # (x-sin(x))/x**3
-    ans = jnp.zeros_like(x)
-    denom = 1.0
-    for i in range(nth + 1):
-        denom *= (2 * i + 2) * (2 * i + 3)
-        ans = ans + (-1) ** i * x ** (2 * i) / denom
-    return ans
+def _cosc(x):
+    safe = jnp.where(jnp.abs(x) < _SMALL, jnp.ones_like(x), x)
+    return jnp.where(jnp.abs(x) < _SMALL, 0.5 - x * x / 24.0,
+                     (1.0 - jnp.cos(safe)) / (safe * safe))
+
+
+def _sinc3(x):
+    safe = jnp.where(jnp.abs(x) < _SMALL, jnp.ones_like(x), x)
+    return jnp.where(jnp.abs(x) < _SMALL, 1.0 / 6.0 - x * x / 120.0,
+                     (safe - jnp.sin(safe)) / (safe * safe * safe))
 
 
 def so3_to_SO3(w):
@@ -99,39 +95,46 @@ def so3_to_SO3(w):
     wx = skew(w)
     theta = jnp.linalg.norm(w, axis=-1)[..., None, None]
     I = jnp.eye(3, dtype=w.dtype)
-    return I + _taylor_A(theta) * wx + _taylor_B(theta) * (wx @ wx)
+    return I + _sinc(theta) * wx + _cosc(theta) * (wx @ wx)
 
 
 def SO3_to_so3(R, eps=1e-7):
-    """Log map SO(3) -> so(3)."""
+    """Log map SO(3) -> so(3): w = theta / (2 sin theta) * vee(R - R^T).
+
+    The arccos argument is clipped to (-1+eps, 1-eps), so theta stays in
+    the open interval (0, pi) and the division is well-posed (near-pi
+    rotations saturate rather than wrap, matching the reference's
+    behavior under its clip)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    theta = jnp.arccos(jnp.clip((trace - 1) / 2, -1 + eps, 1 - eps))[..., None, None] % jnp.pi
-    lnR = 1 / (2 * _taylor_A(theta) + 1e-8) * (R - jnp.swapaxes(R, -2, -1))
-    w0, w1, w2 = lnR[..., 2, 1], lnR[..., 0, 2], lnR[..., 1, 0]
-    return jnp.stack([w0, w1, w2], axis=-1)
+    theta = jnp.arccos(jnp.clip((trace - 1) / 2, -1 + eps, 1 - eps))
+    v = jnp.stack([R[..., 2, 1] - R[..., 1, 2],
+                   R[..., 0, 2] - R[..., 2, 0],
+                   R[..., 1, 0] - R[..., 0, 1]], axis=-1)
+    scale = 0.5 / jnp.maximum(_sinc(theta), 1e-8)
+    return scale[..., None] * v
 
 
 def se3_to_SE3(wu):
-    """Exp map se(3) [...,6] (w|u) -> [...,3,4] pose."""
+    """Exp map se(3) [...,6] (w|u) -> [...,3,4] pose: [exp(w) | V u]."""
     w, u = wu[..., :3], wu[..., 3:]
     wx = skew(w)
     theta = jnp.linalg.norm(w, axis=-1)[..., None, None]
     I = jnp.eye(3, dtype=wu.dtype)
-    A, B, C = _taylor_A(theta), _taylor_B(theta), _taylor_C(theta)
-    R = I + A * wx + B * (wx @ wx)
-    V = I + B * wx + C * (wx @ wx)
+    R = I + _sinc(theta) * wx + _cosc(theta) * (wx @ wx)
+    V = I + _cosc(theta) * wx + _sinc3(theta) * (wx @ wx)
     return jnp.concatenate([R, V @ u[..., None]], axis=-1)
 
 
 def SE3_to_se3(Rt, eps=1e-8):
-    """Log map [...,3,4] pose -> se(3) [...,6]."""
+    """Log map [...,3,4] pose -> se(3) [...,6] via the closed-form V^-1 =
+    I - wx/2 + (1 - A/(2B)) / theta^2 * wx^2."""
     R, t = Rt[..., :3], Rt[..., 3:]
     w = SO3_to_so3(R)
     wx = skew(w)
     theta = jnp.linalg.norm(w, axis=-1)[..., None, None]
     I = jnp.eye(3, dtype=Rt.dtype)
-    A, B = _taylor_A(theta), _taylor_B(theta)
-    invV = I - 0.5 * wx + (1 - A / (2 * B)) / (theta ** 2 + eps) * (wx @ wx)
+    coef = (1 - _sinc(theta) / (2 * _cosc(theta))) / (theta ** 2 + eps)
+    invV = I - 0.5 * wx + coef * (wx @ wx)
     u = (invV @ t)[..., 0]
     return jnp.concatenate([w, u], axis=-1)
 

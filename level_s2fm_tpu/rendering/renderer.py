@@ -233,9 +233,18 @@ def render(sdf_params, sdf_cfg: sdf_mod.SDFConfig,
     """
     HW = center.shape[1]
     chunk = cfg.ray_chunk
-    if chunk is not None and HW > chunk and HW % chunk == 0:
+    if chunk is not None and HW > chunk:
         B = center.shape[0]
-        K = HW // chunk
+        # pad the ray axis up to a chunk multiple (an odd full-image size
+        # must not silently fall through to the unchunked path and OOM
+        # the chip); padded rays repeat the last ray and are sliced off
+        pad = (-HW) % chunk
+        if pad:
+            center = jnp.concatenate(
+                [center, jnp.repeat(center[:, -1:], pad, axis=1)], axis=1)
+            ray = jnp.concatenate(
+                [ray, jnp.repeat(ray[:, -1:], pad, axis=1)], axis=1)
+        K = (HW + pad) // chunk
         c2 = jnp.swapaxes(center.reshape(B, K, chunk, 3), 0, 1)
         r2 = jnp.swapaxes(ray.reshape(B, K, chunk, 3), 0, 1)
 
@@ -244,7 +253,7 @@ def render(sdf_params, sdf_cfg: sdf_mod.SDFConfig,
                                 cfg, cr[0], cr[1], occ_grid=occ_grid)
 
         outs = jax.lax.map(jax.checkpoint(one), (c2, r2))
-        return {k: jnp.swapaxes(v, 0, 1).reshape(B, HW, *v.shape[3:])
+        return {k: jnp.swapaxes(v, 0, 1).reshape(B, HW + pad, *v.shape[3:])[:, :HW]
                 for k, v in outs.items()}
     return _render_impl(sdf_params, sdf_cfg, rad_params, rad_cfg, cfg,
                         center, ray, occ_grid=occ_grid)

@@ -188,6 +188,8 @@ def chunked_run(run_jit, state, batch, key, n_iters: int,
     the tens of seconds while costing negligible dispatch overhead.
     Tune with env LS2FM_SCAN_CHUNK.
     """
+    from ..utils import obs as _obs
+    _obs.COMPILES.record(getattr(run_jit, "__qualname__", str(run_jit)), batch)
     metrics_parts = []
     done = 0
     i = 0

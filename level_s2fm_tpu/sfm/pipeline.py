@@ -142,7 +142,13 @@ class LevelSfM:
             self.params = init.run(self.params, self.next_key(), verbose=verbose)
 
     def select_next_view(self, pose_graph_left, verbose=True) -> int:
-        """NBV: colmap order, or PnP inlier scoring (ref `LevelS2fM.py:243-282`)."""
+        """NBV: colmap order, or PnP inlier scoring (ref `LevelS2fM.py:243-282`).
+
+        ``if_nbv=False`` is deliberate parity: the reference also scores
+        candidates with ``nbv_if = False`` (`LevelS2fM.py:115,268`), so a
+        candidate with <100 raw pairs short-circuits to (False, 0, n)
+        exactly as upstream. The O(candidates x full PnP) cost likewise
+        matches the reference's scoring loop."""
         if self.opt.get("nbv_mode", "colmap") == "colmap":
             return pose_graph_left[0]
         nums, ratios, views = [], [], []
@@ -316,3 +322,6 @@ class LevelSfM:
                 Log.warn(f"artifact export failed: {e}")
         if verbose and self.timers.totals:
             Log.info("phase timing:", self.timers.summary())
+        from ..utils import obs as _obs
+        if verbose and _obs.COMPILES.signatures:
+            Log.info("compiled shape buckets:", _obs.COMPILES.summary())

@@ -97,6 +97,34 @@ class PhaseTimers:
                 for k, v in self.totals.items()}
 
 
+class CompileCounter:
+    """Distinct (phase, batch-shape-signature) tracker.
+
+    A shape-bucket miss triggers a fresh XLA compile — minutes each via
+    the remote-TPU compiler — so per-view recompiles would dominate
+    wall-clock on a real scene. Phases record each run's shape signature
+    here; the end-of-run summary shows how many distinct programs each
+    phase compiled (1 = perfect bucketing)."""
+
+    def __init__(self):
+        self.signatures: Dict[str, set] = {}
+        self.calls: Dict[str, int] = {}
+
+    def record(self, phase_name: str, tree) -> None:
+        import jax
+        sig = tuple(getattr(leaf, "shape", ())
+                    for leaf in jax.tree_util.tree_leaves(tree))
+        self.signatures.setdefault(phase_name, set()).add(hash(sig))
+        self.calls[phase_name] = self.calls.get(phase_name, 0) + 1
+
+    def summary(self) -> Dict[str, Dict[str, int]]:
+        return {k: {"distinct_shape_sigs": len(v), "calls": self.calls[k]}
+                for k, v in self.signatures.items()}
+
+
+COMPILES = CompileCounter()
+
+
 @contextlib.contextmanager
 def jax_trace(logdir: Optional[str]):
     """Capture a jax.profiler trace around a block when logdir is set."""

@@ -1,0 +1,59 @@
+"""Render a DTU-format dataset from the synthetic textured-sphere scene.
+
+Writes `<out>/<scene>/images/*.png` + `cameras.npz` (world_mat = K @ w2c,
+identity scale_mat — the DTU convention, ref `data/DTU.py:122-140`), so
+the REAL preparation pipeline (preparation/main.py, SIFT or COLMAP
+backend) and the real DTU loader run end-to-end on it. The image is
+high-frequency textured (`detail`) so SIFT finds dense corners.
+
+Usage:
+  python scripts/make_synthetic_dataset.py --out data/synthprep \\
+      --scene scan1 --views 9 --size 192
+  python preparation/main.py --data data/synthprep --scene scan1 \\
+      --backend sift
+  python train.py --yaml=configs/synthprep.yaml
+"""
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from level_s2fm_tpu.data import synthetic
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="data/synthprep")
+    ap.add_argument("--scene", default="scan1")
+    ap.add_argument("--views", type=int, default=9)
+    ap.add_argument("--size", type=int, default=192)
+    ap.add_argument("--detail", type=float, default=0.35)
+    ap.add_argument("--seed", type=int, default=3)
+    args = ap.parse_args()
+
+    import imageio.v2 as imageio
+    scene_dir = os.path.join(args.out, args.scene)
+    img_dir = os.path.join(scene_dir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    scene = synthetic.make_scene(n_views=args.views, H=args.size, W=args.size,
+                                 n_points=1024, seed=args.seed,
+                                 detail=args.detail)
+    cams = {}
+    for i in range(args.views):
+        imageio.imwrite(os.path.join(img_dir, f"{i:06d}.png"),
+                        (np.clip(scene.images[i], 0, 1) * 255).astype(np.uint8))
+        K4 = np.eye(4, dtype=np.float32)
+        K4[:3, :3] = scene.intrs[i]
+        W4 = np.eye(4, dtype=np.float32)
+        W4[:3, :4] = scene.poses_gt[i]
+        cams[f"world_mat_{i}"] = K4 @ W4
+        cams[f"scale_mat_{i}"] = np.eye(4, dtype=np.float32)
+    np.savez(os.path.join(scene_dir, "cameras.npz"), **cams)
+    print(f"wrote {args.views} views at {args.size}x{args.size} to {scene_dir}")
+
+
+if __name__ == "__main__":
+    main()

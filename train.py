@@ -32,6 +32,15 @@ def main(argv=None):
     if opt.get("cpu", False):
         import jax
         jax.config.update("jax_platforms", "cpu")
+    import jax
+    # persistent compilation cache (remote-TPU compiles cost minutes each)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from level_s2fm_tpu.sfm.pipeline import LevelSfM
 
