@@ -3,6 +3,7 @@
 Flags: --quick (small config), --full (reference 8192-ray batch),
 --no-occ (disable the default occupancy-guided sample compaction and
 evaluate all 128 samples, the reference's behavior),
+--f32 (full-precision hash tables; default is bf16 reads + f32 accum),
 --ba (neural-BA step throughput instead of the render step),
 --cpu (force CPU backend; for local debugging only).
 
@@ -71,7 +72,11 @@ def main():
                            "volsdf_sampling": False, "max_upsample_iter": 6,
                            "iters_max_st": 10, "eps": 0.1, "beta_init": 0.05,
                            "rescale": 1.0, "beta_speed": 1.0, "sdf_threshold": 1e-3},
-                "Hash_config": {}},
+                # bf16 table reads match configs/levels2fm.yaml (f32
+                # gradient accumulation; --f32 measures full-precision)
+                "Hash_config": {"compute_dtype":
+                                ("float32" if "--f32" in sys.argv
+                                 else "bfloat16")}},
         "RadF": {"arch": {"layers": [None, 64, 64, 3], "skip": []}},
         "data": {"bound_min": [-1, -1, -1], "bound_max": [1, 1, 1],
                  "inside": True, "bg_sdf": None, "bg_rad": 2.0,

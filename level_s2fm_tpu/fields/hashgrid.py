@@ -99,18 +99,45 @@ def _level_indices(grid_int: jnp.ndarray, res: jnp.ndarray,
     return jnp.where(dense_fits, dense_idx % np.uint32(table_size), hashed).astype(jnp.int32)
 
 
+@jax.custom_vjp
+def _gather_bf16(flat: jnp.ndarray, gi: jnp.ndarray) -> jnp.ndarray:
+    """bf16-payload gather with f32 gradient accumulation.
+
+    Forward casts the table to bf16 *before* the gather so the HBM read is
+    half-width (the gather is ~95% of encode time). The backward scatter-add
+    of table cotangents MUST stay f32: thousands of ray samples land in the
+    same coarse-level cell, and accumulating that many contributions at
+    bf16's 8-bit mantissa swamps small updates — measured to destabilize
+    init-phase training into NaN. This is the standard mixed-precision
+    recipe (low-precision reads, full-precision accumulation)."""
+    return flat.astype(jnp.bfloat16)[gi].astype(flat.dtype)
+
+
+def _gather_bf16_fwd(flat, gi):
+    return _gather_bf16(flat, gi), (gi, flat.shape)
+
+
+def _gather_bf16_bwd(res, g):
+    gi, shape = res
+    return jnp.zeros(shape, g.dtype).at[gi].add(g), None
+
+
+_gather_bf16.defvjp(_gather_bf16_fwd, _gather_bf16_bwd)
+
+
 def _flat_gather(table: jnp.ndarray, idx: jnp.ndarray,
                  cfg: HashGridConfig) -> jnp.ndarray:
     """Gather [L,N,8] per-level indices from the [L,T,F] table as one flat
     1-D gather on [L*T, F]."""
     L, T, F = table.shape
     flat = table.reshape(L * T, F)
-    if cfg.compute_dtype == "bfloat16":
-        flat = flat.astype(jnp.bfloat16)
     lvl = jnp.arange(L, dtype=jnp.int32)[:, None, None] * T
     gi = (idx + lvl).reshape(-1)
-    out = flat[gi].reshape(*idx.shape, F)
-    return out.astype(table.dtype)
+    if cfg.compute_dtype == "bfloat16":
+        out = _gather_bf16(flat, gi)
+    else:
+        out = flat[gi]
+    return out.reshape(*idx.shape, F).astype(table.dtype)
 
 
 def encode(table: jnp.ndarray, x_unit: jnp.ndarray, cfg: HashGridConfig) -> jnp.ndarray:

@@ -59,7 +59,9 @@ class LevelSfM:
         self.pts_info_reloaded = None
         out = opt.get("output_path", None)
         self.metrics = MetricRecorder(
-            os.path.join(out, "metrics.jsonl") if out else None)
+            os.path.join(out, "metrics.jsonl") if out else None,
+            tb_dir=(os.path.join(out, "tb") if out and opt.get("tb", False)
+                    else None))
         self.timers = PhaseTimers()
 
     # ------------------------------------------------------------ data/ckpt

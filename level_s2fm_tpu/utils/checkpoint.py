@@ -25,15 +25,60 @@ def _flatten_params(params) -> Dict[str, np.ndarray]:
     return flat
 
 
+def _tree_paths(params):
+    """[(json-able path, np.ndarray leaf)] for dict/list trees.
+
+    Stores structure as data ('d'=dict key, 's'=sequence index) instead
+    of a pickled treedef — a pickled treedef breaks the moment a module
+    is renamed/refactored; paths survive."""
+    out = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        spec = []
+        for p in path:
+            if hasattr(p, "key"):
+                spec.append(("d", p.key))
+            elif hasattr(p, "idx"):
+                spec.append(("s", p.idx))
+            else:
+                raise TypeError(f"unsupported tree path entry {p!r}")
+        out.append((spec, np.asarray(leaf)))
+    return out
+
+
+def _tree_from_paths(entries):
+    def container_for(kind):
+        return {} if kind == "d" else []
+
+    root = container_for(entries[0][0][0][0]) if entries else {}
+    for spec, leaf in entries:
+        cur = root
+        for i, (kind, k) in enumerate(spec):
+            last = i == len(spec) - 1
+            if kind == "s":
+                while len(cur) <= k:
+                    cur.append(None)
+            if last:
+                cur[k] = leaf
+            else:
+                nxt_kind = spec[i + 1][0]
+                if kind == "d":
+                    if k not in cur or cur[k] is None:
+                        cur[k] = container_for(nxt_kind)
+                    cur = cur[k]
+                else:
+                    if cur[k] is None:
+                        cur[k] = container_for(nxt_kind)
+                    cur = cur[k]
+    return root
+
+
 def save_checkpoint_sfm(path: str, params, cameraset, pointset,
                         it: int = 0, extra: Optional[dict] = None):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    treedef = jax.tree_util.tree_structure(params)
-    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(params)]
     payload = {
+        "version": 2,
         "it": it,
-        "treedef": pickle.dumps(treedef),
-        "leaves": leaves,
+        "param_paths": _tree_paths(params),
         "cam_info": cameraset.get_parameters(),
         "pts_info": pointset.get_parameters(),
         "extra": extra or {},
@@ -48,8 +93,13 @@ def restore_checkpoint_sfm(path: str) -> Tuple[object, dict, dict, int]:
     """Returns (params, cam_info, pts_info, it)."""
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    treedef = pickle.loads(payload["treedef"])
     import jax.numpy as jnp
-    leaves = [jnp.asarray(x) for x in payload["leaves"]]
-    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    if payload.get("version", 1) >= 2:
+        entries = [(spec, jnp.asarray(leaf))
+                   for spec, leaf in payload["param_paths"]]
+        params = _tree_from_paths(entries)
+    else:  # round-1 format: pickled treedef + leaves
+        treedef = pickle.loads(payload["treedef"])
+        leaves = [jnp.asarray(x) for x in payload["leaves"]]
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
     return params, payload["cam_info"], payload["pts_info"], payload["it"]

@@ -54,11 +54,21 @@ class MetricRecorder:
     and judge can read back.
     """
 
-    def __init__(self, path: Optional[str] = None):
+    def __init__(self, path: Optional[str] = None, tb_dir: Optional[str] = None):
         self.path = path
         self.history = []
+        self._tb = None
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if tb_dir:
+            # optional TensorBoard scalars (ref `pipelines/base.py:54-57,
+            # 86-129`); torch's SummaryWriter ships in the image — fail
+            # soft if it ever doesn't
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir=tb_dir)
+            except Exception:
+                self._tb = None
 
     def log(self, step: int, **scalars):
         rec = {"step": step, "t": time.time(), **scalars}
@@ -66,6 +76,13 @@ class MetricRecorder:
         if self.path:
             with open(self.path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in scalars.items():
+                try:
+                    self._tb.add_scalar(k, float(v), step)
+                except (TypeError, ValueError):
+                    pass
+            self._tb.flush()
 
     def last(self, key: str):
         for rec in reversed(self.history):

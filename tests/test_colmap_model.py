@@ -1,0 +1,102 @@
+"""COLMAP sparse-model reader tests: bin/txt roundtrip on hand-built
+fixtures (format parity with the reference's read_write_model.py surface:
+read_cameras / read_images / read_points3D / read_model)."""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from preparation import colmap_model as cm
+
+
+def _write_cameras_bin(path):
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        # PINHOLE (id 1): fx fy cx cy
+        f.write(struct.pack("<IiQQ", 1, 1, 640, 480))
+        f.write(struct.pack("<4d", 500.0, 510.0, 320.0, 240.0))
+        # SIMPLE_RADIAL (id 2): f cx cy k
+        f.write(struct.pack("<IiQQ", 2, 2, 100, 80))
+        f.write(struct.pack("<4d", 90.0, 50.0, 40.0, 0.01))
+
+
+def _write_points3D_bin(path):
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<Q", 7))
+        f.write(struct.pack("<3d", 0.1, -0.2, 1.5))
+        f.write(struct.pack("<3B", 10, 20, 30))
+        f.write(struct.pack("<d", 0.75))
+        f.write(struct.pack("<Q", 2))
+        f.write(struct.pack("<4i", 1, 4, 2, 9))  # (image_id, point2D_idx) x2
+
+
+def test_cameras_bin_and_K(tmp_path):
+    p = os.path.join(tmp_path, "cameras.bin")
+    _write_cameras_bin(p)
+    cams = cm.read_cameras(str(tmp_path))
+    assert set(cams) == {1, 2}
+    c1 = cams[1]
+    assert (c1.model, c1.width, c1.height) == ("PINHOLE", 640, 480)
+    np.testing.assert_allclose(
+        c1.K(), [[500, 0, 320], [0, 510, 240], [0, 0, 1]])
+    c2 = cams[2]
+    assert c2.model == "SIMPLE_RADIAL"
+    np.testing.assert_allclose(
+        c2.K(), [[90, 0, 50], [0, 90, 40], [0, 0, 1]])
+
+
+def test_cameras_txt_matches_bin(tmp_path):
+    _write_cameras_bin(os.path.join(tmp_path, "cameras.bin"))
+    bin_cams = cm.read_cameras_bin(os.path.join(tmp_path, "cameras.bin"))
+    txt = os.path.join(tmp_path, "t")
+    os.makedirs(txt)
+    with open(os.path.join(txt, "cameras.txt"), "w") as f:
+        f.write("# Camera list\n")
+        f.write("1 PINHOLE 640 480 500 510 320 240\n")
+        f.write("2 SIMPLE_RADIAL 100 80 90 50 40 0.01\n")
+    txt_cams = cm.read_cameras(txt)
+    for cid in (1, 2):
+        assert txt_cams[cid].model == bin_cams[cid].model
+        np.testing.assert_allclose(txt_cams[cid].params, bin_cams[cid].params)
+        np.testing.assert_allclose(txt_cams[cid].K(), bin_cams[cid].K())
+
+
+def test_points3D_bin_and_txt(tmp_path):
+    _write_points3D_bin(os.path.join(tmp_path, "points3D.bin"))
+    pts = cm.read_points3D(str(tmp_path))
+    assert set(pts) == {7}
+    p = pts[7]
+    np.testing.assert_allclose(p.xyz, [0.1, -0.2, 1.5])
+    assert tuple(p.rgb) == (10, 20, 30)
+    assert p.error == pytest.approx(0.75)
+    np.testing.assert_array_equal(p.image_ids, [1, 2])
+    np.testing.assert_array_equal(p.point2D_idxs, [4, 9])
+
+    txt = os.path.join(tmp_path, "t")
+    os.makedirs(txt)
+    with open(os.path.join(txt, "points3D.txt"), "w") as f:
+        f.write("# 3D point list\n")
+        f.write("7 0.1 -0.2 1.5 10 20 30 0.75 1 4 2 9\n")
+    q = cm.read_points3D(txt)[7]
+    np.testing.assert_allclose(q.xyz, p.xyz)
+    np.testing.assert_array_equal(q.image_ids, p.image_ids)
+    np.testing.assert_array_equal(q.point2D_idxs, p.point2D_idxs)
+
+
+def test_read_model_full(tmp_path):
+    _write_cameras_bin(os.path.join(tmp_path, "cameras.bin"))
+    _write_points3D_bin(os.path.join(tmp_path, "points3D.bin"))
+    with open(os.path.join(tmp_path, "images.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<I", 3))
+        f.write(struct.pack("<4d", 1.0, 0.0, 0.0, 0.0))
+        f.write(struct.pack("<3d", 0.0, 0.0, 0.5))
+        f.write(struct.pack("<I", 1))
+        f.write(b"im3.png\x00")
+        f.write(struct.pack("<Q", 0))
+    cams, imgs, pts = cm.read_model(str(tmp_path))
+    assert set(cams) == {1, 2} and set(imgs) == {3} and set(pts) == {7}
+    assert imgs[3].name == "im3.png"
+    np.testing.assert_allclose(cm.qvec_to_rotmat(imgs[3].qvec), np.eye(3))

@@ -45,7 +45,7 @@ def test_dtu_loader_roundtrip(dtu_scene):
     # monkeypatched raw size by loading at stored resolution
     loaders._raw_size_orig = loaders._raw_size
     try:
-        loaders._raw_size = lambda d: (96, 96)
+        loaders._raw_size = lambda d, opt=None: (96, 96)
         out = loaders.load_dtu(opt)
     finally:
         loaders._raw_size = loaders._raw_size_orig

@@ -97,3 +97,43 @@ def test_config_from_opt_scale():
                "data": {"bound_min": [-1, -1, -1], "bound_max": [1, 1, 1]}})
     cfg = hashgrid.config_from_opt(opt)
     assert abs(cfg.per_level_scale - np.exp(np.log(2048 / 16) / 15)) < 1e-6
+
+
+def test_bf16_gather_f32_accumulation(rng):
+    """bf16 compute tables: forward reads bf16 payloads but the backward
+    scatter-add MUST accumulate in f32 — thousands of small per-sample
+    cotangents landing in one coarse cell vanish at bf16 precision
+    (round-2 measured NaN source in init training)."""
+    import dataclasses
+    cfg = dataclasses.replace(small_cfg(), compute_dtype="bfloat16")
+    cfg_f32 = small_cfg()
+    table = hashgrid.init_table(jax.random.PRNGKey(0), cfg)
+    # many points in ONE coarse cell -> all 4096 cotangents hit the same
+    # 8 table entries
+    x = jnp.asarray(rng.uniform(0.30, 0.35, size=(4096, 3)).astype(np.float32))
+
+    def loss(t, c):
+        return jnp.sum(hashgrid.encode(t, x, c)) * 1e-4
+
+    g_bf16 = jax.grad(loss)(table, cfg)
+    g_f32 = jax.grad(loss)(table, cfg_f32)
+    assert g_bf16.dtype == table.dtype
+    nz = np.abs(np.asarray(g_f32)) > 0
+    assert nz.sum() > 0
+    # f32 accumulation: summed-cotangent relative error stays tiny even
+    # though each individual payload read was bf16
+    rel = np.abs(np.asarray(g_bf16 - g_f32))[nz] / np.abs(np.asarray(g_f32))[nz]
+    assert np.median(rel) < 1e-5, f"median rel err {np.median(rel)}"
+
+
+def test_bf16_forward_close_to_f32(rng):
+    import dataclasses
+    cfg16 = dataclasses.replace(small_cfg(), compute_dtype="bfloat16")
+    cfg32 = small_cfg()
+    table = hashgrid.init_table(jax.random.PRNGKey(1), cfg32)
+    x = jnp.asarray(rng.uniform(0, 1, size=(256, 3)).astype(np.float32))
+    o16 = np.asarray(hashgrid.encode(table, x, cfg16))
+    o32 = np.asarray(hashgrid.encode(table, x, cfg32))
+    # bf16 has ~3 decimal digits; table init is ~1e-4 scale
+    assert np.max(np.abs(o16 - o32)) < 2e-2 * max(np.max(np.abs(o32)), 1e-6)
+    np.testing.assert_allclose(o16, o32, atol=5e-3, rtol=1e-2)

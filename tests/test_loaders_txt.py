@@ -38,7 +38,7 @@ def _opt(root, dataset):
 
 def test_eth3d_loader(txt_scene, monkeypatch):
     root, scene = txt_scene
-    monkeypatch.setattr(loaders, "_raw_size", lambda d: (48, 48))
+    monkeypatch.setattr(loaders, "_raw_size", lambda d, opt=None: (48, 48))
     out = loaders.load_eth3d(_opt(root, "ETH3D"))
     assert out["images"].shape == (3, 48, 48, 3)
     np.testing.assert_allclose(out["intrs"][0], scene.intrs[0], atol=1e-4)
@@ -47,7 +47,7 @@ def test_eth3d_loader(txt_scene, monkeypatch):
 
 def test_blendedmvs_loader_bg_fixup(txt_scene, monkeypatch):
     root, scene = txt_scene
-    monkeypatch.setattr(loaders, "_raw_size", lambda d: (48, 48))
+    monkeypatch.setattr(loaders, "_raw_size", lambda d, opt=None: (48, 48))
     out = loaders.load_blendedmvs(_opt(root, "BlendedMVS"))
     # black background pixels lifted to white
     img = out["images"][0]

@@ -31,6 +31,40 @@ def test_full_mode_with_refine(tmp_path):
     assert os.path.exists(os.path.join(out, "model.ckpt"))
 
 
+def test_get_result_refine_again(tmp_path):
+    """`--get_result --refine_again` reloads the scene from the latest
+    checkpoint, runs the long rendering-refine (tiny budget here), saves,
+    and exports (ref `LevelS2fM.py:207-218` load_all + refine path)."""
+    opt = build_options(BASE + ["--sfm_mode=fast", f"--output_root={tmp_path}"])
+    scene = synthetic.make_scene(n_views=3, H=64, W=64, n_points=200, seed=0)
+    m = LevelSfM(opt, seed=0)
+    m.load_data(synthetic.scene_to_var(scene))
+    assert m.train(max_views=3, verbose=False)
+
+    opt2 = build_options(BASE + [
+        "--sfm_mode=fast", f"--output_root={tmp_path}", "--resume",
+        "--get_result", "--refine_again", "--refine_again_iters=6",
+    ])
+    from level_s2fm_tpu.sfm.bundle import Refiner
+    from level_s2fm_tpu.utils import export
+    m2 = LevelSfM(opt2, seed=0)
+    m2.load_data(synthetic.scene_to_var(scene))
+    m2.restore_checkpoint()
+    m2._reload_scene()
+    n_before = len(m2.camera_set)
+    refiner = Refiner(opt2, m2.cfgs, m2.camera_set, m2.point_set,
+                      max_iter=int(opt2.refine_again_iters))
+    m2.params = refiner.run(m2.params, m2.next_key())
+    m2.save_checkpoint(latest=True)
+    export.export_results(opt2, m2, resolution=24)
+    assert len(m2.camera_set) == n_before == 3
+    out = opt2.output_path
+    assert os.path.exists(os.path.join(out, "model.ckpt"))
+    assert os.path.exists(os.path.join(out, "pointcloud.ply"))
+    assert os.path.exists(os.path.join(out, "mesh", "high_res.ply"))
+    assert os.path.exists(os.path.join(out, "cameras.json"))
+
+
 def test_nbv_pnp_scoring(tmp_path):
     opt = build_options(BASE + ["--sfm_mode=fast", "--nbv_mode=pnp",
                                 f"--output_root={tmp_path}"])

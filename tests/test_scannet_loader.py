@@ -32,7 +32,7 @@ def scannet_scene(tmp_path_factory):
 
 def test_scannet_loader_subsampling(scannet_scene, monkeypatch):
     root, scene = scannet_scene
-    monkeypatch.setattr(loaders, "_raw_size", lambda d: (48, 48))
+    monkeypatch.setattr(loaders, "_raw_size", lambda d, opt=None: (48, 48))
     opt = Opt({"data": {"root": str(root), "scene": "scene0000_00",
                         "dataset": "scannet", "image_size": [48, 48],
                         "freq_frame": 2}})
