@@ -185,9 +185,13 @@ def process_options(opt: Opt):
         np.random.seed(opt.seed)
     if opt.get("data", None) is not None and opt.data.get("image_size", None):
         opt.H, opt.W = opt.data.image_size
-    name = opt.get("name", "run")
-    group = opt.get("group", "default")
-    opt.output_path = os.path.join(opt.get("output_root", "output"), str(group), str(name))
+    # an explicit --output_path override wins; otherwise derive
+    # output_root/group/name as the reference does
+    if not opt.get("output_path", None):
+        name = opt.get("name", "run")
+        group = opt.get("group", "default")
+        opt.output_path = os.path.join(opt.get("output_root", "output"),
+                                       str(group), str(name))
 
 
 def scene_opt(opt: Opt, key: str, default=None):

@@ -140,6 +140,37 @@ def export_cameras_json(cameraset, path: str, img_hw=None):
         json.dump(cams, f)
 
 
+def export_colmap_model(cameraset, pointset, model_dir: str, ext: str = ".bin"):
+    """Write the reconstruction as a COLMAP sparse model (cameras/images/
+    points3D) so downstream COLMAP tooling can consume it (the reference
+    ships the read_write_model.py surface for exactly this interchange).
+    """
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "..", ".."))
+    from preparation import colmap_model as cm
+    cams, images = {}, {}
+    for cam in cameraset.cameras:
+        cid = int(cam.id) + 1  # COLMAP ids are 1-based
+        K = np.asarray(cam.intr, np.float64)
+        H, W = cam.img.shape[:2]
+        cams[cid] = cm.ColmapCamera(cid, "PINHOLE", W, H,
+                                    np.asarray([K[0, 0], K[1, 1],
+                                                K[0, 2], K[1, 2]]))
+        pose = np.asarray(cam.pose(), np.float64)  # w2c, COLMAP convention
+        images[cid] = cm.ColmapImage(cid, cm.rotmat_to_qvec(pose[:3, :3]),
+                                     pose[:3, 3], cid, f"{int(cam.id):06d}.png")
+    pts = {}
+    for i in range(len(pointset)):
+        track = pointset.tracks[i]
+        pts[i + 1] = cm.ColmapPoint3D(
+            i + 1, np.asarray(pointset.xyz[i], np.float64),
+            np.asarray([128, 128, 128], np.uint8), 0.0,
+            np.asarray([int(c) + 1 for c, _ in track]),
+            np.asarray([int(k) for _, k in track]))
+    cm.write_model(cams, images, pts, model_dir, ext=ext)
+
+
 def render_full_image(params, cfgs, pose, intr, H: int, W: int,
                       ray_batch: int = 8192):
     """Sliced full-image render (ref `Camera.py:274-311`).
@@ -240,6 +271,8 @@ def export_results(opt, model, resolution: int = 256):
                           grid_boundary=(-0.6, 0.6))
     export_pointcloud(model.point_set, os.path.join(out, "pointcloud.ply"))
     export_cameras_json(model.camera_set, os.path.join(out, "cameras.json"))
+    export_colmap_model(model.camera_set, model.point_set,
+                        os.path.join(out, "sparse", "0"))
     if len(model.camera_set):
         cam0 = model.camera_set.cameras[0]
         img = render_full_image(model.params, model.cfgs, cam0.pose(), cam0.intr,

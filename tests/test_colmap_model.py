@@ -85,6 +85,47 @@ def test_points3D_bin_and_txt(tmp_path):
     np.testing.assert_array_equal(q.point2D_idxs, p.point2D_idxs)
 
 
+def test_write_read_roundtrip_bin_and_txt(tmp_path):
+    cams = {1: cm.ColmapCamera(1, "PINHOLE", 640, 480,
+                               np.asarray([500.0, 510.0, 320.0, 240.0]))}
+    R = cm.qvec_to_rotmat(np.asarray([0.9, 0.1, -0.2, 0.3]) /
+                          np.linalg.norm([0.9, 0.1, -0.2, 0.3]))
+    q = cm.rotmat_to_qvec(R)
+    imgs = {2: cm.ColmapImage(2, q, np.asarray([0.1, 0.2, 0.3]), 1, "a.png")}
+    pts = {5: cm.ColmapPoint3D(5, np.asarray([1.0, 2.0, 3.0]),
+                               np.asarray([9, 8, 7], np.uint8), 0.5,
+                               np.asarray([2]), np.asarray([11]))}
+    for ext in (".bin", ".txt"):
+        d = os.path.join(tmp_path, ext.strip("."))
+        cm.write_model(cams, imgs, pts, d, ext=ext)
+        rc, ri, rp = cm.read_model(d)
+        np.testing.assert_allclose(rc[1].params, cams[1].params)
+        assert rc[1].model == "PINHOLE"
+        np.testing.assert_allclose(ri[2].qvec, q, atol=1e-12)
+        np.testing.assert_allclose(ri[2].tvec, imgs[2].tvec, atol=1e-12)
+        assert ri[2].name == "a.png"
+        np.testing.assert_allclose(rp[5].xyz, pts[5].xyz)
+        np.testing.assert_array_equal(rp[5].image_ids, [2])
+        np.testing.assert_array_equal(rp[5].point2D_idxs, [11])
+
+
+def test_rotmat_qvec_roundtrip():
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        if q[0] < 0:
+            q = -q
+        R = cm.qvec_to_rotmat(q)
+        np.testing.assert_allclose(cm.rotmat_to_qvec(R), q, atol=1e-10)
+        # trace<=0 branches: 180-degree rotations about each axis
+    for axis in range(3):
+        R = -np.eye(3)
+        R[axis, axis] = 1.0
+        np.testing.assert_allclose(cm.qvec_to_rotmat(cm.rotmat_to_qvec(R)), R,
+                                   atol=1e-10)
+
+
 def test_read_model_full(tmp_path):
     _write_cameras_bin(os.path.join(tmp_path, "cameras.bin"))
     _write_points3D_bin(os.path.join(tmp_path, "points3D.bin"))

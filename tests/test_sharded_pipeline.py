@@ -31,3 +31,21 @@ def test_bundler_with_active_mesh(tmp_path):
     assert np.isfinite(reproj)
     for leaf in jax.tree_util.tree_leaves(params):
         assert bool(jnp.isfinite(leaf).all())
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_cli_pipeline_with_data_mesh(tmp_path):
+    """Full incremental pipeline through the train.py surface with
+    --parallel.data_devices=8: every phase (init/geoinit/BA) compiles and
+    runs with the ('data',) mesh active (configs/scannet_multiroom.yaml
+    wiring; BASELINE config 5 single-host form)."""
+    import train as train_mod
+    m = train_mod.main([
+        "--yaml=configs/synthetic.yaml", "--sfm_mode=fast", "--max_views=3",
+        "--parallel.data_devices=8", "--optim.init.max_iter=20",
+        "--optim.geoinit.max_iter=4", "--optim.ba.max_iter=10",
+        f"--output_root={tmp_path}"])
+    assert len(m.camera_set) == 3
+    assert len(m.point_set) > 20
+    r_deg, t_err, _ = m.camera_set.eval_poses(verbose=False)
+    assert np.isfinite(r_deg) and np.isfinite(t_err)

@@ -44,29 +44,44 @@ def main(argv=None):
 
     from level_s2fm_tpu.sfm.pipeline import LevelSfM
 
+    # --parallel.data_devices=N|all : activate an N-device ('data',) mesh;
+    # phase steps shard ray/track batches over it and XLA all-reduces the
+    # replicated field grads over ICI (BASELINE config 5 surface; on a
+    # multi-host pod combine with parallel.distributed utilities)
+    import contextlib
+    mesh_ctx = contextlib.nullcontext()
+    pd = opt.get("parallel", None)
+    pd = pd.get("data_devices") if pd else None
+    if pd:
+        from level_s2fm_tpu.parallel import mesh as pmesh
+        n = None if str(pd) == "all" else int(pd)
+        mesh_ctx = pmesh.use_mesh(pmesh.make_mesh(n))
+
     os.makedirs(opt.output_path, exist_ok=True)
-    model = LevelSfM(opt, seed=int(opt.get("seed", 0)))
-    model.load_data(build_var(opt))
-    if opt.get("resume", False):
-        model.restore_checkpoint()
-    elif opt.get("load", None):
-        model.restore_checkpoint(opt.load)
+    with mesh_ctx:
+        model = LevelSfM(opt, seed=int(opt.get("seed", 0)))
+        model.load_data(build_var(opt))
+        if opt.get("resume", False):
+            model.restore_checkpoint()
+        elif opt.get("load", None):
+            model.restore_checkpoint(opt.load)
 
-    if opt.get("get_result", False):
-        from level_s2fm_tpu.utils import export
-        model._reload_scene()
-        if opt.get("refine_again", None) or opt.Ablate_config.get("refine_again"):
-            # long rendering-refine before export (ref `LevelS2fM.py:207-218`)
-            from level_s2fm_tpu.sfm.bundle import Refiner
-            refiner = Refiner(opt, model.cfgs, model.camera_set, model.point_set,
-                              max_iter=int(opt.get("refine_again_iters", 10000)))
-            model.params = refiner.run(model.params, model.next_key())
-            model.save_checkpoint(latest=True)
-        export.export_results(opt, model)
-        return model
+        if opt.get("get_result", False):
+            from level_s2fm_tpu.utils import export
+            model._reload_scene()
+            if opt.get("refine_again", None) or opt.Ablate_config.get("refine_again"):
+                # long rendering-refine before export (ref `LevelS2fM.py:207-218`)
+                from level_s2fm_tpu.sfm.bundle import Refiner
+                refiner = Refiner(opt, model.cfgs, model.camera_set,
+                                  model.point_set,
+                                  max_iter=int(opt.get("refine_again_iters", 10000)))
+                model.params = refiner.run(model.params, model.next_key())
+                model.save_checkpoint(latest=True)
+            export.export_results(opt, model)
+            return model
 
-    max_views = opt.get("max_views", None)
-    model.train(max_views=int(max_views) if max_views else None)
+        max_views = opt.get("max_views", None)
+        model.train(max_views=int(max_views) if max_views else None)
     return model
 
 
