@@ -320,6 +320,8 @@ class LevelSfM:
                     self.point_set, os.path.join(out, "pointcloud.ply"))
                 export_mod.export_cameras_json(
                     self.camera_set, os.path.join(out, "cameras.json"))
+                from ..viz.html_viewer import export_html
+                export_html(out)  # offline interactive viewer.html
             except Exception as e:  # artifact dumping must never kill a run
                 Log.warn(f"artifact export failed: {e}")
         if verbose and self.timers.totals:

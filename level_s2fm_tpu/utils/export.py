@@ -273,6 +273,8 @@ def export_results(opt, model, resolution: int = 256):
     export_cameras_json(model.camera_set, os.path.join(out, "cameras.json"))
     export_colmap_model(model.camera_set, model.point_set,
                         os.path.join(out, "sparse", "0"))
+    from ..viz.html_viewer import export_html
+    export_html(out)  # interactive offline viewer.html
     if len(model.camera_set):
         cam0 = model.camera_set.cameras[0]
         img = render_full_image(model.params, model.cfgs, cam0.pose(), cam0.intr,

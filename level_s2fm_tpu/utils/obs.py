@@ -70,12 +70,21 @@ class MetricRecorder:
             except Exception:
                 self._tb = None
 
+    @staticmethod
+    def _json_default(o):
+        # numpy / jax scalars and arrays (e.g. np.int64 view ids) are not
+        # JSON serializable; `.tolist()` maps them to native python values
+        if hasattr(o, "tolist"):
+            return o.tolist()
+        raise TypeError(
+            f"Object of type {type(o).__name__} is not JSON serializable")
+
     def log(self, step: int, **scalars):
         rec = {"step": step, "t": time.time(), **scalars}
         self.history.append(rec)
         if self.path:
             with open(self.path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+                f.write(json.dumps(rec, default=self._json_default) + "\n")
         if self._tb is not None:
             for k, v in scalars.items():
                 try:
