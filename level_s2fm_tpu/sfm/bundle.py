@@ -25,8 +25,32 @@ from . import entities
 from .phases import BAPhase, PhaseCfgs, RefinePhase
 
 
+#: Camera-count shape buckets: every distinct C used to compile a fresh
+#: multi-minute phase program through the remote-TPU compiler (ROADMAP
+#: "Camera count C is NOT bucketed"); padding C to ~2 buckets/octave caps
+#: compiles at O(log C) while wasting <=33% of the camera axis. Padded
+#: slots replicate camera 0 and are excluded from every loss via
+#: ``cam_mask`` (see `phases.render_core`).
+_CAM_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+
+
+def cam_bucket(n: int) -> int:
+    for b in _CAM_BUCKETS:
+        if n <= b:
+            return b
+    return int(-(-n // 32) * 32)
+
+
+def pad_cam_ids(cam_ids: Sequence[int]) -> tuple:
+    """(padded id list, real count): padded slots repeat camera 0."""
+    ids = list(cam_ids)
+    C = len(ids)
+    return ids + [ids[0]] * (cam_bucket(C) - C), C
+
+
 def build_tracing_data(cfgs: PhaseCfgs, cameraset: entities.CameraSet,
-                       pointset: entities.PointSet, cam_ids: Sequence[int]):
+                       pointset: entities.PointSet, cam_ids: Sequence[int],
+                       n_real: Optional[int] = None):
     """Per-camera padded tracked-keypoint rays + target points for the
     multi-view tracing-consistency loss (ref `Camera.py:476-488`)."""
     C = len(cam_ids)
@@ -51,7 +75,7 @@ def build_tracing_data(cfgs: PhaseCfgs, cameraset: entities.CameraSet,
         center[i, :n] = np.asarray(c[0])
         ray[i, :n] = np.asarray(r[0])
         xyz[i, :n] = pointset.get_xyzs(cam.idx2d_to_3d[kidx])
-        mask[i, :n] = True
+        mask[i, :n] = n_real is None or i < n_real
     return {"center": jnp.asarray(center), "ray": jnp.asarray(ray),
             "xyz": jnp.asarray(xyz), "mask": jnp.asarray(mask)}
 
@@ -139,14 +163,17 @@ class Bundler:
         valid[:len(pts_id)] = True
 
         cam0 = cameraset(self.cam_pick_ids[0])
+        # pad the camera axis to a shape bucket; real cams are the prefix
+        self.padded_ids, self.C_real = pad_cam_ids(self.cam_pick_ids)
         self.batch = {
             "pose_idx": jnp.asarray(pidx), "kp": jnp.asarray(kp),
             "valid": jnp.asarray(valid),
             "intr": jnp.asarray(cam0.intr),
-            "images": stack_images(cameraset, self.cam_pick_ids),
+            "images": stack_images(cameraset, self.padded_ids),
             "grid": T.mesh_grid(cfgs.H, cfgs.W),
             "tracing": build_tracing_data(cfgs, cameraset, pointset,
-                                          self.cam_pick_ids),
+                                          self.padded_ids, self.C_real),
+            "cam_mask": jnp.arange(len(self.padded_ids)) < self.C_real,
         }
         self.xyzs0 = jnp.asarray(xyzs)
 
@@ -161,7 +188,7 @@ class Bundler:
 
     def run(self, params, key, verbose=True) -> tuple:
         """Returns (params, reproj_px)."""
-        se3 = self.cameraset.all_se3(self.cam_pick_ids)
+        se3 = self.cameraset.all_se3(self.padded_ids)
         ba_params = {"sdf": params["sdf"], "rad": params["rad"],
                      "se3_r": jnp.asarray(se3[:, :3]),
                      "se3_t": jnp.asarray(se3[:, 3:])}
@@ -207,15 +234,17 @@ class Refiner:
         self.cam_pick_ids = list(cam_pick_ids) if cam_pick_ids is not None \
             else list(cameraset.cam_ids)
         orf = opt.optim.refine
-        poses, _ = cameraset.all_poses(self.cam_pick_ids)
+        padded_ids, C_real = pad_cam_ids(self.cam_pick_ids)
+        poses, _ = cameraset.all_poses(padded_ids)
         cam0 = cameraset(self.cam_pick_ids[0])
         self.batch = {
             "poses": jnp.asarray(poses),
             "intr": jnp.asarray(cam0.intr),
-            "images": stack_images(cameraset, self.cam_pick_ids),
+            "images": stack_images(cameraset, padded_ids),
             "grid": T.mesh_grid(cfgs.H, cfgs.W),
             "tracing": build_tracing_data(cfgs, cameraset, pointset,
-                                          self.cam_pick_ids),
+                                          padded_ids, C_real),
+            "cam_mask": jnp.arange(len(padded_ids)) < C_real,
         }
         weights = {k: v for k, v in opt.loss_weight.refine.items()}
         from .phases import get_cached_phase

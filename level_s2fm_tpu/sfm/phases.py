@@ -64,7 +64,8 @@ def project_points_per(pts, poses, K, eps=EPS):
 # ============================================================================
 
 def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
-                tracing=None, occ=None, dc_trace_frozen: bool = False):
+                tracing=None, occ=None, dc_trace_frozen: bool = False,
+                cam_mask=None):
     """Random-ray multi-view render + the standard loss bundle.
 
     poses [C,3,4]; intr [3,3]; images [C,HW,3]; grid [HW,2].
@@ -79,6 +80,10 @@ def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
     ``dc_trace_frozen`` re-evaluates the DC branch's track with a frozen
     SDF (value-only): used by BA, where the reference detaches the march
     anyway and pose/field gradients flow through the rendered depth.
+    ``cam_mask`` [C] bool marks the REAL cameras when the camera axis is
+    padded to a shape bucket (see `bundle.cam_bucket`): padded cameras'
+    rays are excluded from every loss/metric, and the tracing camera is
+    drawn from the real prefix only. None = all cameras real.
     Returns dict of losses/metrics (all scalars) plus 'normals', 'mask_bg'.
     """
     C = poses.shape[0]
@@ -103,6 +108,7 @@ def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
     rays = pmesh.constrain(rays, axis=1)
     rgbs_gt = pmesh.constrain(rgbs_gt, axis=1)
 
+    n_valid = C if cam_mask is None else jnp.sum(cam_mask)
     out = {}
     # combined ray set: DC rays for all cams + (optionally) the random
     # camera's tracked keypoints — one march, branch-specific re-eval
@@ -110,7 +116,8 @@ def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
     flat_r = rays.reshape(-1, 3)
     n_dc = flat_c.shape[0]
     if tracing is not None:
-        cam_j = jax.random.randint(k_cam, (), 0, C)
+        # real cameras occupy the prefix of a padded camera axis
+        cam_j = jax.random.randint(k_cam, (), 0, n_valid)
         tc = tracing["center"][cam_j]
         tray = tracing["ray"][cam_j]
         txyz = tracing["xyz"][cam_j]
@@ -150,6 +157,9 @@ def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
 
     mean_gt = rgbs_gt.mean(axis=-1)
     mask_bg = (mean_gt < 0.95) & (mean_gt > 0.05)
+    ray_real = (jnp.ones((C, n_rays), bool) if cam_mask is None
+                else jnp.broadcast_to(cam_mask[:, None], (C, n_rays)))
+    mask_bg = mask_bg & ray_real
     mask_fin = mask_finish & mask_bg
 
     dc_elem = L.smooth_l1(d_points[..., 0], depth_mlp[..., 0])
@@ -160,15 +170,19 @@ def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
         w_dc = jnp.exp(-100.0 * rgb_err)
         dc_unf = L.masked_mean(
             w_dc * L.smooth_l1(d_points[..., 0], jax.lax.stop_gradient(depth_mlp[..., 0])),
-            (~mask_fin))
-        dc = dc + cfgs.dc_unfinish_weight * C * dc_unf
+            (~mask_fin) & ray_real)
+        dc = dc + cfgs.dc_unfinish_weight * n_valid * dc_unf
 
+    rgb_loss = (L.l1(rgb, rgbs_gt) if cam_mask is None
+                else L.masked_mean(jnp.abs(rgb - rgbs_gt).mean(axis=-1),
+                                   ray_real))
     out.update(
-        rgb_loss=L.l1(rgb, rgbs_gt),
+        rgb_loss=rgb_loss,
         DC_loss=dc,
         PSNR=L.psnr(rgb, rgbs_gt, mask_bg),
         normals=ren["normals"],
         mask_bg=mask_bg,
+        ray_real=ray_real,
     )
     return out
 
@@ -566,7 +580,8 @@ class BAPhase:
             rc = render_core(params, cfgs, key, pose_input, batch["intr"],
                              batch["images"], batch["grid"],
                              tracing=batch["tracing"], occ=batch.get("occ"),
-                             dc_trace_frozen=True)
+                             dc_trace_frozen=True,
+                             cam_mask=batch.get("cam_mask"))
             loss["eikonal_loss"] = eikonal_from_normals(rc["normals"], rc["mask_bg"])
             loss["rgb"] = rc["rgb_loss"]
             loss["DC_Loss"] = rc["DC_loss"]
@@ -647,9 +662,10 @@ class RefinePhase:
     def _losses(self, params, batch, key):
         rc = render_core(params, self.cfgs, key, batch["poses"], batch["intr"],
                          batch["images"], batch["grid"],
-                         tracing=batch["tracing"], occ=batch.get("occ"))
+                         tracing=batch["tracing"], occ=batch.get("occ"),
+                         cam_mask=batch.get("cam_mask"))
         loss = {
-            "eikonal_loss": eikonal_from_normals(rc["normals"]),
+            "eikonal_loss": eikonal_from_normals(rc["normals"], rc["ray_real"]),
             "rgb": rc["rgb_loss"],
             "DC_Loss": rc["DC_loss"],
             "tracing_loss": rc["tracing_loss"],

@@ -306,6 +306,13 @@ class LevelSfM:
                     os.path.join(vis_dir, f"{self.it:04d}_render.png"),
                     (_np.clip(_np.asarray(img["rgb"]), 0, 1) * 255)
                     .astype(_np.uint8))
+                self.metrics.log_image(self.it, "render/rgb", img["rgb"])
+                from ..utils import vis as vis_mod
+                self.metrics.log_image(
+                    self.it, "render/depth",
+                    vis_mod.colorize(_np.asarray(img["depth"])[..., 0]
+                                     if _np.asarray(img["depth"]).ndim == 3
+                                     else _np.asarray(img["depth"])))
         except Exception as e:  # artifact dumping must never kill a run
             Log.warn(f"per-view artifact export failed: {e}")
 

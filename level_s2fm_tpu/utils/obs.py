@@ -93,6 +93,21 @@ class MetricRecorder:
                     pass
             self._tb.flush()
 
+    def log_image(self, step: int, name: str, image):
+        """TensorBoard image (ref `util_vis.py:24-34` tb_image); no-op
+        without a tb_dir. image: [H,W,3] float in [0,1] or uint8."""
+        if self._tb is None:
+            return
+        import numpy as np
+        img = np.asarray(image)
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+        try:
+            self._tb.add_image(name, img, step, dataformats="HWC")
+            self._tb.flush()
+        except Exception:
+            pass
+
     def last(self, key: str):
         for rec in reversed(self.history):
             if key in rec:
