@@ -32,6 +32,15 @@ _sdf_eval = jax.jit(lambda params, cfg, pts:
                     sdf_mod.infer_sdf(params, cfg, pts)[..., 0],
                     static_argnums=1)
 
+# single shared jitted full-render callable (a fresh `jax.jit(lambda ...)`
+# per render_full_image call would recompile once per view — minutes each
+# through the remote-TPU compiler); the configs are hashable frozen
+# dataclasses and ride the static path
+_render_rays = jax.jit(
+    lambda sdf_p, sdf_cfg, rad_p, rad_cfg, ren_cfg, c, r:
+    ren_mod.render(sdf_p, sdf_cfg, rad_p, rad_cfg, ren_cfg, c, r),
+    static_argnums=(1, 3, 4))
+
 
 def _eval_sdf_chunked(params, sdf_cfg, pts, chunk):
     vals = []
@@ -95,6 +104,9 @@ def extract_mesh_high_res(params, sdf_cfg, path: str, resolution: int = 512,
     mean = verts.mean(axis=0)
     cov = np.cov((verts - mean).T)
     _, Rpca = np.linalg.eigh(cov)          # columns = principal axes
+    if np.linalg.det(Rpca) < 0:            # keep the frame right-handed so
+        Rpca = Rpca.copy()                 # MC face winding survives map-back
+        Rpca[:, 0] = -Rpca[:, 0]
     v_pca = (verts - mean) @ Rpca
     vmin = v_pca.min(axis=0) - 0.05
     vmax = v_pca.max(axis=0) + 0.05
@@ -145,9 +157,6 @@ def export_colmap_model(cameraset, pointset, model_dir: str, ext: str = ".bin"):
     points3D) so downstream COLMAP tooling can consume it (the reference
     ships the read_write_model.py surface for exactly this interchange).
     """
-    import sys
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    "..", ".."))
     from preparation import colmap_model as cm
     cams, images = {}, {}
     for cam in cameraset.cameras:
@@ -158,8 +167,16 @@ def export_colmap_model(cameraset, pointset, model_dir: str, ext: str = ".bin"):
                                     np.asarray([K[0, 0], K[1, 1],
                                                 K[0, 2], K[1, 2]]))
         pose = np.asarray(cam.pose(), np.float64)  # w2c, COLMAP convention
+        # 2D observations: keypoints + their 3D links (tracks in points3D
+        # index into these lists, so they must be written for the model to
+        # be internally consistent)
+        idx3d = np.asarray(cam.idx2d_to_3d, np.int64)
+        p3d_ids = np.where(idx3d >= 0, idx3d + 1, -1)
         images[cid] = cm.ColmapImage(cid, cm.rotmat_to_qvec(pose[:3, :3]),
-                                     pose[:3, 3], cid, f"{int(cam.id):06d}.png")
+                                     pose[:3, 3], cid,
+                                     f"{int(cam.id):06d}.png",
+                                     np.asarray(cam.kypts, np.float64),
+                                     p3d_ids)
     pts = {}
     for i in range(len(pointset)):
         track = pointset.tracks[i]
@@ -180,8 +197,8 @@ def render_full_image(params, cfgs, pose, intr, H: int, W: int,
     grid = T.mesh_grid(H, W)
     center, ray = T.get_center_and_ray(jnp.asarray(pose)[None],
                                        jnp.asarray(intr), grid)
-    render_fn = jax.jit(lambda c, r: ren_mod.render(
-        params["sdf"], cfgs.sdf, params["rad"], cfgs.rad, cfgs.ren, c, r))
+    render_fn = lambda c, r: _render_rays(  # noqa: E731
+        params["sdf"], cfgs.sdf, params["rad"], cfgs.rad, cfgs.ren, c, r)
     rgbs, deps, nrms = [], [], []
     n = center.shape[1]
     for i in range(0, n, ray_batch):

@@ -23,6 +23,8 @@ class ColmapImage:
     tvec: np.ndarray
     camera_id: int
     name: str
+    xys: np.ndarray = None          # [K,2] 2D observations (optional)
+    point3D_ids: np.ndarray = None  # [K] int64; -1 = untracked
 
 
 def qvec_to_rotmat(q: np.ndarray) -> np.ndarray:
@@ -34,16 +36,30 @@ def qvec_to_rotmat(q: np.ndarray) -> np.ndarray:
 
 
 def read_images_txt(path: str) -> Dict[int, ColmapImage]:
+    # blank observation lines are significant (an image with zero 2D
+    # points still owns a second line in the COLMAP format), so keep them
+    # and pair header/observation lines explicitly
     images = {}
     with open(path) as f:
-        lines = [l.strip() for l in f if l.strip() and not l.startswith("#")]
-    for i in range(0, len(lines), 2):
+        lines = [l.strip() for l in f if not l.startswith("#")]
+    i = 0
+    while i < len(lines):
+        if not lines[i]:
+            i += 1
+            continue
         parts = lines[i].split()
         image_id = int(parts[0])
         qvec = np.asarray(list(map(float, parts[1:5])))
         tvec = np.asarray(list(map(float, parts[5:8])))
+        obs = lines[i + 1].split() if i + 1 < len(lines) else []
+        if obs:
+            vals = np.asarray(list(map(float, obs))).reshape(-1, 3)
+            xys, p3d = vals[:, :2], vals[:, 2].astype(np.int64)
+        else:
+            xys, p3d = None, None
         images[image_id] = ColmapImage(image_id, qvec, tvec,
-                                       int(parts[8]), parts[9])
+                                       int(parts[8]), parts[9], xys, p3d)
+        i += 2
     return images
 
 
@@ -62,9 +78,13 @@ def read_images_bin(path: str) -> Dict[int, ColmapImage]:
                 name += c
                 c = f.read(1)
             n2d = struct.unpack("<Q", f.read(8))[0]
-            f.read(24 * n2d)  # skip 2D points (x, y, point3D_id)
+            xys, p3d = None, None
+            if n2d:
+                vals = struct.unpack("<" + "ddq" * n2d, f.read(24 * n2d))
+                xys = np.asarray(vals, np.float64).reshape(-1, 3)[:, :2]
+                p3d = np.asarray(vals[2::3], np.int64)
             images[image_id] = ColmapImage(image_id, qvec, tvec,
-                                           camera_id, name.decode())
+                                           camera_id, name.decode(), xys, p3d)
     return images
 
 
@@ -238,7 +258,13 @@ def write_images_txt(images: Dict[int, ColmapImage], path: str):
             im = images[iid]
             q = " ".join(repr(float(v)) for v in im.qvec)
             t = " ".join(repr(float(v)) for v in im.tvec)
-            f.write(f"{im.image_id} {q} {t} {im.camera_id} {im.name}\n\n")
+            f.write(f"{im.image_id} {q} {t} {im.camera_id} {im.name}\n")
+            if im.xys is not None and len(im.xys):
+                p3d = (im.point3D_ids if im.point3D_ids is not None
+                       else -np.ones(len(im.xys), np.int64))
+                f.write(" ".join(f"{float(x)!r} {float(y)!r} {int(pid)}"
+                                 for (x, y), pid in zip(im.xys, p3d)))
+            f.write("\n")
 
 
 def write_images_bin(images: Dict[int, ColmapImage], path: str):
@@ -251,7 +277,12 @@ def write_images_bin(images: Dict[int, ColmapImage], path: str):
             f.write(struct.pack("<3d", *map(float, im.tvec)))
             f.write(struct.pack("<I", im.camera_id))
             f.write(im.name.encode() + b"\x00")
-            f.write(struct.pack("<Q", 0))  # no 2D observations stored
+            xys = im.xys if im.xys is not None else np.zeros((0, 2))
+            p3d = (im.point3D_ids if im.point3D_ids is not None
+                   else -np.ones(len(xys), np.int64))
+            f.write(struct.pack("<Q", len(xys)))
+            for (x, y), pid in zip(xys, p3d):
+                f.write(struct.pack("<ddq", float(x), float(y), int(pid)))
 
 
 def write_points3D_txt(pts: Dict[int, ColmapPoint3D], path: str):

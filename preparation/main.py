@@ -120,13 +120,16 @@ def run_colmap_backend(scene_dir: str, colmap_bin: str = "colmap"):
         subprocess.run([colmap_bin, "exhaustive_matcher",
                         "--database_path", db_path], check=True)
         # capture the mapper log: it is the only record of the TRUE
-        # incremental registration order (ref `preparation/main.py:146-175`)
+        # incremental registration order (ref `preparation/main.py:146-175`).
+        # Write it even on mapper failure — it is also the only record of
+        # WHY mapping failed.
         mapper_log = os.path.join(scene_dir, "mapper.log")
         r = subprocess.run([colmap_bin, "mapper", "--database_path", db_path,
                             "--image_path", img_dir, "--output_path", sparse],
-                           check=True, capture_output=True, text=True)
+                           capture_output=True, text=True)
         with open(mapper_log, "w") as f:
-            f.write(r.stdout + "\n" + r.stderr)
+            f.write((r.stdout or "") + "\n" + (r.stderr or ""))
+        r.check_returncode()
 
     db = ColmapDatabase(db_path)
     names = db.image_names()

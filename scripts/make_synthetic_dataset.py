@@ -8,7 +8,7 @@ high-frequency textured (`detail`) so SIFT finds dense corners.
 
 Usage:
   python scripts/make_synthetic_dataset.py --out data/synthprep \\
-      --scene scan1 --views 9 --size 192
+      --scene scan1 --views 9 --size 320
   python preparation/main.py --data data/synthprep --scene scan1 \\
       --backend sift
   python train.py --yaml=configs/synthprep.yaml
@@ -29,7 +29,8 @@ def main():
     ap.add_argument("--out", default="data/synthprep")
     ap.add_argument("--scene", default="scan1")
     ap.add_argument("--views", type=int, default=9)
-    ap.add_argument("--size", type=int, default=192)
+    # default must match configs/synthprep.yaml data.raw_size
+    ap.add_argument("--size", type=int, default=320)
     ap.add_argument("--detail", type=float, default=0.35)
     ap.add_argument("--seed", type=int, default=3)
     args = ap.parse_args()

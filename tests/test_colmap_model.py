@@ -141,3 +141,60 @@ def test_read_model_full(tmp_path):
     assert set(cams) == {1, 2} and set(imgs) == {3} and set(pts) == {7}
     assert imgs[3].name == "im3.png"
     np.testing.assert_allclose(cm.qvec_to_rotmat(imgs[3].qvec), np.eye(3))
+
+
+def test_image_observations_roundtrip(tmp_path):
+    """2D observations (xys + point3D links) survive bin and txt IO —
+    including an image with ZERO observations mixed in (the txt format
+    still owns a blank second line for it)."""
+    xys = np.asarray([[1.5, 2.25], [10.0, 20.5], [3.25, 4.0]])
+    p3d = np.asarray([7, -1, 12], np.int64)
+    imgs = {
+        1: cm.ColmapImage(1, np.asarray([1.0, 0, 0, 0]),
+                          np.asarray([0.0, 0, 0.5]), 1, "a.png", xys, p3d),
+        2: cm.ColmapImage(2, np.asarray([1.0, 0, 0, 0]),
+                          np.asarray([0.0, 0, 1.0]), 1, "b.png"),
+        3: cm.ColmapImage(3, np.asarray([1.0, 0, 0, 0]),
+                          np.asarray([1.0, 0, 0.0]), 1, "c.png",
+                          xys[:1], p3d[:1]),
+    }
+    for writer, reader, fname in [
+            (cm.write_images_bin, cm.read_images_bin, "images.bin"),
+            (cm.write_images_txt, cm.read_images_txt, "images.txt")]:
+        path = os.path.join(str(tmp_path), fname)
+        writer(imgs, path)
+        back = reader(path)
+        assert set(back) == {1, 2, 3}
+        np.testing.assert_allclose(back[1].xys, xys)
+        np.testing.assert_array_equal(back[1].point3D_ids, p3d)
+        assert back[2].xys is None or len(back[2].xys) == 0
+        np.testing.assert_allclose(back[3].xys, xys[:1])
+        np.testing.assert_array_equal(back[3].point3D_ids, p3d[:1])
+
+
+def test_exported_model_tracks_consistent(tmp_path):
+    """export_colmap_model writes points3D tracks that dereference into
+    written 2D observations (regression: images had zero points2D)."""
+    import jax
+    from level_s2fm_tpu.config import build_options
+    from level_s2fm_tpu.data import synthetic
+    from level_s2fm_tpu.sfm.pipeline import LevelSfM
+    from level_s2fm_tpu.utils.export import export_colmap_model
+
+    opt = build_options([
+        "--yaml=configs/synthetic.yaml", "--optim.init.max_iter=10",
+        "--sfm_mode=fast", f"--output_root={tmp_path}"])
+    scene = synthetic.make_scene(n_views=2, H=64, W=64, n_points=256, seed=0)
+    m = LevelSfM(opt, seed=0)
+    m.load_data(synthetic.scene_to_var(scene))
+    m.initialize_two_views(0, 1, verbose=False)
+    out = os.path.join(str(tmp_path), "sparse", "0")
+    export_colmap_model(m.camera_set, m.point_set, out)
+    cams, imgs, pts = cm.read_model(out)
+    assert len(pts) == len(m.point_set) and len(imgs) == 2
+    for p in pts.values():
+        for iid, kidx in zip(p.image_ids, p.point2D_idxs):
+            im = imgs[int(iid)]
+            assert im.xys is not None and 0 <= int(kidx) < len(im.xys)
+            # the 2D observation links back to this 3D point
+            assert int(im.point3D_ids[int(kidx)]) == int(p.point3D_id)
