@@ -77,3 +77,19 @@ def test_nbv_pnp_scoring(tmp_path):
     # with a ring of cameras 0-1-2-3, view 2 overlaps the registered pair
     # much more than view 3
     assert nbv == 2
+
+
+def test_get_result_auto_restores(tmp_path):
+    """`--get_result` without `--resume`/`--load` restores the checkpoint
+    automatically through the train.py surface (regression: it previously
+    exported from empty scene state and crashed in _reload_scene)."""
+    import train as train_mod
+    train_mod.main(BASE + ["--sfm_mode=fast", "--max_views=3",
+                           f"--output_root={tmp_path}"])
+    m = train_mod.main(BASE + ["--sfm_mode=fast",
+                               f"--output_root={tmp_path}", "--get_result"])
+    assert len(m.camera_set) == 3
+    out = m.opt.output_path
+    assert os.path.exists(os.path.join(out, "mesh", "high_res.ply"))
+    assert os.path.exists(os.path.join(out, "sparse", "0", "points3D.bin"))
+    assert os.path.exists(os.path.join(out, "viewer.html"))

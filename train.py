@@ -65,6 +65,11 @@ def main(argv=None):
             model.restore_checkpoint()
         elif opt.get("load", None):
             model.restore_checkpoint(opt.load)
+        elif opt.get("get_result", False):
+            # get_result is meaningless without a checkpoint (the reference
+            # gates it behind --resume, `LevelS2fM.py:185-207`); restore
+            # automatically instead of failing on empty scene state
+            model.restore_checkpoint()
 
         if opt.get("get_result", False):
             from level_s2fm_tpu.utils import export
