@@ -262,25 +262,32 @@ def render(sdf_params, sdf_cfg: sdf_mod.SDFConfig,
 def compact_by_occupancy(depths, center, ray, occ_grid, K: int):
     """Keep the K nearest samples inside the occupancy band, depth-ordered.
 
-    depths [B,HW,S]. Dropped (empty-space) bins contribute sigma=0 to the
-    quadrature anyway (up to the grid threshold), so compositing over the
-    selected bins with their own widths is faithful. Returns
-    (depths_sel [B,HW,K], valid_sel [B,HW,K]).
+    depths [B,HW,S], ASCENDING along the sample axis (uniform mid-bin
+    sampling and the sorted adaptive path both guarantee this). Dropped
+    (empty-space) bins contribute sigma=0 to the quadrature anyway (up to
+    the grid threshold), so compositing over the selected bins with their
+    own widths is faithful. Returns (depths_sel [B,HW,K], valid_sel
+    [B,HW,K]).
+
+    Because the input is already depth-ordered, the K nearest in-band
+    samples are simply the first K valid entries — selected here with a
+    cumsum + vectorized searchsorted instead of sorting the sample axis
+    (XLA sorts are a hot spot on TPU; this path runs every render step).
     """
     pts = center[..., None, :] + ray[..., None, :] * depths[..., None]
     rel = (pts - occ_grid.center) / (2 * occ_grid.half_size) + 0.5
     res = occ_grid.resolution
     cell = jnp.clip((rel * res).astype(jnp.int32), 0, res - 1)
     valid = occ_grid.occ[cell[..., 0], cell[..., 1], cell[..., 2]]
-    big = jnp.max(depths) + 1.0
-    key = jnp.where(valid, depths, big + depths)
-    order = jnp.argsort(key, axis=-1)[..., :K]
-    d_sel = jnp.take_along_axis(depths, order, -1)
-    v_sel = jnp.take_along_axis(valid, order, -1)
-    # re-sort the selected subset by depth so compositing order is correct
-    order2 = jnp.argsort(d_sel, axis=-1)
-    return (jnp.take_along_axis(d_sel, order2, -1),
-            jnp.take_along_axis(v_sel, order2, -1))
+    # index of the k-th valid sample = #\{s : cumsum(valid)[s] < k+1\}
+    cum = jnp.cumsum(valid.astype(jnp.int32), axis=-1)          # [B,HW,S]
+    ks = jnp.arange(1, K + 1, dtype=jnp.int32)                  # [K]
+    idx = jnp.sum((cum[..., None, :] < ks[:, None]).astype(jnp.int32),
+                  axis=-1)                                      # [B,HW,K]
+    v_sel = ks <= cum[..., -1:]                                 # [B,HW,K]
+    idx = jnp.minimum(idx, depths.shape[-1] - 1)
+    d_sel = jnp.take_along_axis(depths, idx, -1)
+    return d_sel, v_sel
 
 
 def _render_impl(sdf_params, sdf_cfg: sdf_mod.SDFConfig,
