@@ -220,11 +220,21 @@ def bench_ba(opt, sdf_cfg, rad_cfg, ren_cfg, params, quick):
     jax.block_until_ready(state["params"])
     dt = time.perf_counter() - t0
     iters_per_s = iters / dt
+    # baseline: round-1's measured BA-phase step (~1.55 s/iter on chip,
+    # ROADMAP round-1 decomposition). Recorded in BENCH_BASELINE.json as
+    # "ba_sfm_iters_per_s"; null if the key is absent.
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        try:
+            with open(BASELINE_FILE) as f:
+                baseline = json.load(f).get("ba_sfm_iters_per_s")
+        except Exception:
+            baseline = None
     print(json.dumps({
         "metric": "ba_sfm_step_iters_per_s",
         "value": round(iters_per_s, 2),
         "unit": f"iters/s (P={P} tracks, C={C} cams)",
-        "vs_baseline": 1.0,
+        "vs_baseline": (round(iters_per_s / baseline, 3) if baseline else None),
     }))
 
 

@@ -203,6 +203,34 @@ def gradient_chunked(params, cfg: SDFConfig, xyz: jnp.ndarray,
     return out.reshape(-1, 3)[:n].reshape(xyz.shape)
 
 
+def infer_with_normal_chunked(params, cfg: SDFConfig, xyz: jnp.ndarray,
+                              chunk: int = 2048):
+    """(sdf [...,1], normal [...,3]) from the fused one-gather eval,
+    chunked like ``gradient_chunked`` (same remote-compiler constraint).
+
+    Use where a phase needs BOTH the sdf value and the eikonal normal at
+    the same points (e.g. geoinit's existing-point regularizers) — one
+    gather pass instead of separate infer_sdf + gradient calls.
+    """
+    flat = xyz.reshape(-1, 3)
+    n = flat.shape[0]
+
+    def one(p):
+        s, _, g = infer_all_with_normal(params, cfg, p)
+        return s, g
+
+    if n <= chunk:
+        s, g = one(flat)
+    else:
+        pad = (-n) % chunk
+        flat_p = jnp.pad(flat, ((0, pad), (0, 0)))
+        parts = flat_p.reshape(-1, chunk, 3)
+        s, g = jax.lax.map(one, parts)
+        s = s.reshape(-1, 1)[:n]
+        g = g.reshape(-1, 3)[:n]
+    return (s.reshape(*xyz.shape[:-1], 1), g.reshape(*xyz.shape[:-1], 3))
+
+
 def forward_ab(params, cfg: SDFConfig):
     beta = jnp.exp(params["beta"] * cfg.beta_speed)
     return 1.0 / beta, beta
@@ -220,9 +248,15 @@ def get_surface_pts(params, cfg: SDFConfig, pts: jnp.ndarray):
 
     surf = pts - n * sdf / stop_grad(|n|) (ref `models/SDF.py:95-100`).
     Returns (surf_pts, |n|).
+
+    sdf and normal come from ONE fused eval (`infer_all_with_normal`) —
+    one hash-gather pass instead of the two separate infer_sdf + gradient
+    calls (the reference detaches the query points for the sdf branch,
+    `models/SDF.py:96`; the only caller feeds a non-differentiable carried
+    buffer, so evaluating both branches at the detached points is exact).
     """
-    sdf = infer_sdf(params, cfg, jax.lax.stop_gradient(pts))
-    normals = gradient(params, cfg, pts)
+    pts_d = jax.lax.stop_gradient(pts)
+    sdf, _, normals = infer_all_with_normal(params, cfg, pts_d)
     nval = jnp.linalg.norm(normals, axis=-1, keepdims=True)
     surf = pts - normals / jax.lax.stop_gradient(nval) * sdf
     return surf, nval

@@ -444,7 +444,11 @@ class GeoInitPhase:
         pick = jax.random.permutation(k2, E)[:n_sub]
         pe = batch["pts_exists"][pick]
         pe_mask = batch["pts_mask"][pick]
-        sdf_e = sdf_mod.infer_sdf(params["sdf"], cfgs.sdf, pe)[..., 0]
+        # fused eval: sdf + eikonal normal at the existing points in ONE
+        # gather pass (g_exist consumed below)
+        sdf_e_full, g_exist = sdf_mod.infer_with_normal_chunked(
+            params["sdf"], cfgs.sdf, pe)
+        sdf_e = sdf_e_full[..., 0]
         near = (jnp.abs(sdf_e) < cfgs.sdf.sdf_threshold) & pe_mask
         kp_mask2 = jnp.concatenate([valid, valid], 0)
         sdf_abs_sum = (jnp.sum(jnp.abs(sdf_e) * near)
@@ -453,7 +457,6 @@ class GeoInitPhase:
         sdf_surf = sdf_abs_sum / jnp.maximum(sdf_cnt, 1.0)
 
         g_samp = sdf_mod.gradient_chunked(params["sdf"], cfgs.sdf, tr.sample_pts)
-        g_exist = sdf_mod.gradient_chunked(params["sdf"], cfgs.sdf, pe)
         gn = jnp.concatenate([jnp.linalg.norm(g_exist, axis=-1),
                               jnp.linalg.norm(g_samp[0], axis=-1)], 0)
         gmask = jnp.concatenate([pe_mask, jnp.ones(g_samp.shape[1], bool)], 0)

@@ -73,3 +73,57 @@ def test_second_order_through_fused_normal(rng):
     g2 = jax.grad(eik_ad)(params["table"])
     np.testing.assert_allclose(np.asarray(g), np.asarray(g2), rtol=1e-3,
                                atol=1e-6)
+
+
+def test_get_surface_pts_matches_two_pass(rng):
+    """The fused surface projection (one gather pass) must equal the
+    two-pass composition infer_sdf + gradient, incl. param gradients."""
+    cfg = small_sdf_cfg()
+    params = sdf_mod.init_params(jax.random.PRNGKey(1), cfg)
+    pts = jnp.asarray(rng.uniform(-0.8, 0.8, size=(48, 3)).astype(np.float32))
+
+    def two_pass(p, x):
+        sdf = sdf_mod.infer_sdf(p, cfg, jax.lax.stop_gradient(x))
+        normals = sdf_mod.gradient(p, cfg, x)
+        nval = jnp.linalg.norm(normals, axis=-1, keepdims=True)
+        surf = x - normals / jax.lax.stop_gradient(nval) * sdf
+        return surf, nval
+
+    surf1, nval1 = sdf_mod.get_surface_pts(params, cfg, pts)
+    surf2, nval2 = two_pass(params, pts)
+    np.testing.assert_allclose(np.asarray(surf1), np.asarray(surf2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nval1), np.asarray(nval2),
+                               rtol=1e-5, atol=1e-6)
+
+    # param gradients of a BA-style loss must match too (second order
+    # through the normals path)
+    def loss_fused(p):
+        surf, nv = sdf_mod.get_surface_pts(p, cfg, pts)
+        return jnp.sum(surf ** 2) + jnp.mean(jnp.abs(nv - 1.0))
+
+    def loss_two(p):
+        surf, nv = two_pass(p, pts)
+        return jnp.sum(surf ** 2) + jnp.mean(jnp.abs(nv - 1.0))
+
+    g1 = jax.grad(loss_fused)(params)
+    g2 = jax.grad(loss_two)(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_infer_with_normal_chunked_matches_direct(rng):
+    cfg = small_sdf_cfg(bg_sdf=True)
+    params = sdf_mod.init_params(jax.random.PRNGKey(2), cfg)
+    # 5 chunks of 3 -> exercises padding (13 % 3 != 0)
+    pts = jnp.asarray(rng.uniform(-0.9, 0.9, size=(13, 3)).astype(np.float32))
+    s1, g1 = sdf_mod.infer_with_normal_chunked(params, cfg, pts, chunk=3)
+    s2 = sdf_mod.infer_sdf(params, cfg, pts)
+    g2 = sdf_mod.gradient(params, cfg, pts)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+    # single-chunk fast path
+    s3, g3 = sdf_mod.infer_with_normal_chunked(params, cfg, pts, chunk=64)
+    np.testing.assert_allclose(np.asarray(s3), np.asarray(s2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g2), rtol=1e-5, atol=1e-6)
