@@ -48,6 +48,25 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    if not CPU:
+        # Device-acquisition watchdog: a wedged axon tunnel makes
+        # jax.devices() HANG (observed, not raise) — without a bound the
+        # bench would burn the whole driver budget silently. Probe in a
+        # daemon thread; on timeout report tpu_failed loudly and exit.
+        import threading
+        acquired = []
+        t = threading.Thread(target=lambda: acquired.append(jax.devices()),
+                             daemon=True)
+        t.start()
+        t.join(timeout=float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "240")))
+        if not acquired:
+            print(json.dumps({"metric": "rays_per_s", "value": None,
+                              "unit": "rays/s", "vs_baseline": None,
+                              "tpu_failed": True,
+                              "error": "device acquisition timed out "
+                                       "(TPU tunnel unreachable)"}),
+                  flush=True)
+            os._exit(2)
     import jax.numpy as jnp
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from level_s2fm_tpu.config import Opt

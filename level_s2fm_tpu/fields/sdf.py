@@ -23,6 +23,7 @@ Field parameters are a pytree: {"table": [L,T,F], "mlp": {...}, "beta": [1]}.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -122,6 +123,41 @@ def infer_sdf(params, cfg: SDFConfig, xyz: jnp.ndarray) -> jnp.ndarray:
     else:
         sdf = -feat[..., :1] / cfg.scale_mlp
     return sdf
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _infer_sdf_jit(params, cfg: SDFConfig, xyz: jnp.ndarray) -> jnp.ndarray:
+    return infer_sdf(params, cfg, xyz)
+
+
+def _host_bucket(n: int, base: int = 256) -> int:
+    """Smallest bucket >= n from the geometric ladder base*1.5^k (~2.4
+    buckets/octave) — bounds padding waste at 50%."""
+    m = base
+    while m < n:
+        m = (m * 3 + 1) // 2
+    return m
+
+
+def infer_sdf_host(params, cfg: SDFConfig, pts: np.ndarray) -> np.ndarray:
+    """Jitted, shape-bucketed sdf eval for host-side callers (PnP gating,
+    NBV candidate scoring — ref `pipelines/Registration.py:85-88`).
+
+    Host call sites feed data-dependent point counts; evaluating eagerly
+    (or jitting per exact shape) pays a fresh remote-TPU compile + one
+    dispatch per op every view (~25 s/view measured on chip). Padding N
+    up the ~2.4-buckets/octave ladder reuses ONE compiled program per
+    bucket across the whole scene.
+    """
+    pts = np.asarray(pts, np.float32).reshape(-1, 3)
+    n = pts.shape[0]
+    if n == 0:
+        return np.zeros((0,), np.float32)
+    m = _host_bucket(n)
+    padded = np.zeros((m, 3), np.float32)
+    padded[:n] = pts
+    out = _infer_sdf_jit(params, cfg, jnp.asarray(padded))
+    return np.asarray(out)[:n, 0]
 
 
 def infer_all(params, cfg: SDFConfig, xyz: jnp.ndarray):

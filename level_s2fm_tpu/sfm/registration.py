@@ -68,8 +68,9 @@ class Registration:
         p3d, p2d, id_3d, id_2d = pairs
         if (len(p3d) < 100) and not if_nbv:
             return False, 0.0, len(p3d)
-        sdfs = np.asarray(sdf_mod.infer_sdf(params["sdf"], self.cfgs.sdf,
-                                            jnp.asarray(p3d)))[:, 0]
+        # bucketed jitted eval: repeated PnP/NBV calls with data-dependent
+        # point counts reuse one compiled program per size bucket
+        sdfs = sdf_mod.infer_sdf_host(params["sdf"], self.cfgs.sdf, p3d)
         # ba_trad ablation widens the gate to a no-op (ref
         # `Registration_Trad.py:86-93`)
         gate = 5000.0 if self.opt.Ablate_config.get("ba_trad", False) else 0.05

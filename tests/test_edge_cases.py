@@ -64,3 +64,25 @@ def test_pointset_growth_and_track_update():
     assert ps.tracks[4][-1] == (2, 10)
     ps.update_xyzs([1], np.asarray([[5.0, 5.0, 5.0]], np.float32))
     np.testing.assert_allclose(ps.get_xyzs([1])[0], [5, 5, 5])
+
+
+def test_infer_sdf_host_bucketed():
+    """Bucketed host eval must match the direct eval and reuse buckets."""
+    import numpy as np
+    import jax
+    from level_s2fm_tpu.fields import sdf as sdf_mod
+    from tests.test_fused_normal import small_sdf_cfg
+
+    cfg = small_sdf_cfg()
+    params = sdf_mod.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    # two sizes in the same bucket (256) and one in the next (384)
+    assert sdf_mod._host_bucket(100) == sdf_mod._host_bucket(250) == 256
+    assert sdf_mod._host_bucket(257) == 384
+    for n in (1, 100, 250, 300):
+        pts = rng.uniform(-0.8, 0.8, size=(n, 3)).astype(np.float32)
+        got = sdf_mod.infer_sdf_host(params, cfg, pts)
+        want = np.asarray(sdf_mod.infer_sdf(params, cfg, pts))[:, 0]
+        assert got.shape == (n,)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert sdf_mod.infer_sdf_host(params, cfg, np.zeros((0, 3))).shape == (0,)
