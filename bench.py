@@ -54,17 +54,26 @@ def main():
         # bench would burn the whole driver budget silently. Probe in a
         # daemon thread; on timeout report tpu_failed loudly and exit.
         import threading
-        acquired = []
-        t = threading.Thread(target=lambda: acquired.append(jax.devices()),
-                             daemon=True)
+        acquired, dev_err = [], []
+
+        def _probe():
+            try:
+                acquired.append(jax.devices())
+            except Exception as e:  # report the true cause, not a timeout
+                dev_err.append(f"{type(e).__name__}: {e}")
+
+        t = threading.Thread(target=_probe, daemon=True)
         t.start()
         t.join(timeout=float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "240")))
         if not acquired:
-            print(json.dumps({"metric": "rays_per_s", "value": None,
-                              "unit": "rays/s", "vs_baseline": None,
-                              "tpu_failed": True,
-                              "error": "device acquisition timed out "
-                                       "(TPU tunnel unreachable)"}),
+            metric = ("ba_sfm_step_iters_per_s" if "--ba" in sys.argv
+                      else "render_train_step_rays_per_s")
+            err = (dev_err[0] if dev_err else
+                   "device acquisition timed out (TPU tunnel unreachable)")
+            print(json.dumps({"metric": metric, "value": None,
+                              "unit": "iters/s" if "--ba" in sys.argv else "rays/s",
+                              "vs_baseline": None,
+                              "tpu_failed": True, "error": err}),
                   flush=True)
             os._exit(2)
     import jax.numpy as jnp
@@ -239,9 +248,10 @@ def bench_ba(opt, sdf_cfg, rad_cfg, ren_cfg, params, quick):
     jax.block_until_ready(state["params"])
     dt = time.perf_counter() - t0
     iters_per_s = iters / dt
-    # baseline: round-1's measured BA-phase step (~1.55 s/iter on chip,
-    # ROADMAP round-1 decomposition). Recorded in BENCH_BASELINE.json as
-    # "ba_sfm_iters_per_s"; null if the key is absent.
+    # baseline: BENCH_BASELINE.json's "ba_sfm_iters_per_s" (6.56 iters/s,
+    # measured on chip early round 2 before the lane-packed table-gradient
+    # path landed — round 1 had no BA bench; see the file's _note_ba).
+    # null if the key is absent.
     baseline = None
     if os.path.exists(BASELINE_FILE):
         try:

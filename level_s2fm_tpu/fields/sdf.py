@@ -228,15 +228,10 @@ def gradient_chunked(params, cfg: SDFConfig, xyz: jnp.ndarray,
     body at ``chunk`` points while regularizing the reference's full 4096+
     sample count (ref `Registration.py:258`, `models/SDF.py:223`).
     """
-    flat = xyz.reshape(-1, 3)
-    n = flat.shape[0]
-    if n <= chunk:
-        return gradient(params, cfg, xyz)
-    pad = (-n) % chunk
-    flat_p = jnp.pad(flat, ((0, pad), (0, 0)))
-    parts = flat_p.reshape(-1, chunk, 3)
-    out = jax.lax.map(lambda p: gradient(params, cfg, p), parts)
-    return out.reshape(-1, 3)[:n].reshape(xyz.shape)
+    # one chunking implementation: the fused eval's unused sdf output is
+    # dead-code-eliminated by XLA, so this is exactly the gradient path
+    return infer_with_normal_chunked(params, cfg, xyz, chunk)[1].reshape(
+        xyz.shape)
 
 
 def infer_with_normal_chunked(params, cfg: SDFConfig, xyz: jnp.ndarray,
