@@ -25,6 +25,52 @@ def build_var(opt):
     return loaders.load_prepared_scene(opt)
 
 
+# ---------------------------------------------------------------- elasticity
+# The reference has NO failure recovery (SURVEY §5: registration failure
+# aborts; a CUDA fault kills the run). Long TPU runs here die for a
+# different reason: the remote-TPU tunnel / worker crashes on long
+# dispatches or drops mid-scene. Since the pipeline checkpoints after
+# init and after EVERY registered view, a process restart with --resume
+# loses at most one view of work — so train.py offers bounded automatic
+# retry (--auto_retry=N, default 0/off) for transient device failures.
+
+_TRANSIENT_PATTERNS = (
+    "tpu worker process crashed", "tpu_compile_helper", "remote_compile",
+    "deadline_exceeded", "unavailable", "connection reset", "socket closed",
+    "failed to connect", "data_loss", "internal: stream",
+)
+
+
+def _is_transient_device_failure(exc: BaseException) -> bool:
+    """Heuristic match on the error text: the axon PJRT surface raises
+    generic XlaRuntimeError types, so the message is the only signal."""
+    msg = f"{type(exc).__name__}: {exc}".lower()
+    return any(p in msg for p in _TRANSIENT_PATTERNS)
+
+
+def _retry_argv(argv, ckpt_exists: bool):
+    """argv for the retry process: add --resume when a checkpoint exists
+    (continue from the last registered view), drop a stale --load (resume
+    supersedes it); without a checkpoint the run simply starts over."""
+    out = [a for a in argv if not (ckpt_exists and a.startswith("--load"))]
+    if ckpt_exists and "--resume" not in out:
+        out.append("--resume")
+    return out
+
+
+def _maybe_reexec_args(opt, argv, exc):
+    """Return the argv to re-exec with, or None if no retry applies."""
+    budget = int(opt.get("auto_retry", 0))
+    attempt = int(os.environ.get("LS2FM_RETRY_ATTEMPT", "0"))
+    if budget <= attempt or opt.get("cpu", False):
+        return None
+    if not _is_transient_device_failure(exc):
+        return None
+    ckpt = os.path.join(opt.get("output_path", "output/run"), "model.ckpt")
+    os.environ["LS2FM_RETRY_ATTEMPT"] = str(attempt + 1)
+    return _retry_argv(list(argv), os.path.exists(ckpt))
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     from level_s2fm_tpu.config import build_options
@@ -42,8 +88,6 @@ def main(argv=None):
     except Exception:
         pass
 
-    from level_s2fm_tpu.sfm.pipeline import LevelSfM
-
     # --parallel.data_devices=N|all : activate an N-device ('data',) mesh;
     # phase steps shard ray/track batches over it and XLA all-reduces the
     # replicated field grads over ICI (BASELINE config 5 surface; on a
@@ -58,6 +102,25 @@ def main(argv=None):
         mesh_ctx = pmesh.use_mesh(pmesh.make_mesh(n))
 
     os.makedirs(opt.output_path, exist_ok=True)
+    try:
+        return _run(opt, argv, mesh_ctx)
+    except Exception as e:
+        new_argv = _maybe_reexec_args(opt, argv, e)
+        if new_argv is None:
+            raise
+        import traceback
+        traceback.print_exc()
+        print(f"[auto_retry] transient device failure; re-exec attempt "
+              f"{os.environ['LS2FM_RETRY_ATTEMPT']}/{opt.get('auto_retry')} "
+              f"with argv: {new_argv}", flush=True)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        here = os.path.abspath(__file__)
+        os.execv(sys.executable, [sys.executable, here] + new_argv)
+
+
+def _run(opt, argv, mesh_ctx):
+    from level_s2fm_tpu.sfm.pipeline import LevelSfM
     with mesh_ctx:
         model = LevelSfM(opt, seed=int(opt.get("seed", 0)))
         model.load_data(build_var(opt))
