@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import transforms as T
+from ..utils.hostdev import on_host_cpu
 from . import entities
 from .phases import BAPhase, PhaseCfgs, RefinePhase
 
@@ -69,11 +70,12 @@ def build_tracing_data(cfgs: PhaseCfgs, cameraset: entities.CameraSet,
         n = len(kidx)
         if n == 0:
             continue
-        c, r = T.get_center_and_ray(jnp.asarray(cam.pose())[None],
-                                    jnp.asarray(cam.intr),
-                                    jnp.asarray(cam.kypts[kidx], jnp.float32))
-        center[i, :n] = np.asarray(c[0])
-        ray[i, :n] = np.asarray(r[0])
+        with on_host_cpu():  # eager per-camera ray setup stays off the tunnel
+            c, r = T.get_center_and_ray(jnp.asarray(cam.pose())[None],
+                                        jnp.asarray(cam.intr),
+                                        jnp.asarray(cam.kypts[kidx], jnp.float32))
+            center[i, :n] = np.asarray(c[0])
+            ray[i, :n] = np.asarray(r[0])
         xyz[i, :n] = pointset.get_xyzs(cam.idx2d_to_3d[kidx])
         mask[i, :n] = n_real is None or i < n_real
     return {"center": jnp.asarray(center), "ray": jnp.asarray(ray),

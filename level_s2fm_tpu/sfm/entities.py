@@ -14,6 +14,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..geometry import lie, transforms as T
+from ..utils.hostdev import on_host_cpu
 
 import jax.numpy as jnp
 
@@ -47,7 +48,9 @@ class Camera:
             self.idx2d_to_3d = -np.ones(self.kypts.shape[0], np.int64)
 
     def pose(self) -> np.ndarray:
-        return np.asarray(lie.se3_to_SE3(jnp.asarray(self.se3[None], jnp.float32)))[0]
+        with on_host_cpu():  # tiny eager math; keep it off the TPU tunnel
+            return np.asarray(
+                lie.se3_to_SE3(jnp.asarray(self.se3[None], jnp.float32)))[0]
 
     def rel_index(self, other_id: int) -> int:
         """Index into matches/inlier_masks for the pair (self, other).
@@ -100,24 +103,27 @@ class CameraSet:
         """Procrustes-aligned rot/t errors + ATE; 2-view relative fallback
         (ref `pipelines/Camera.py:583-620`)."""
         poses, poses_gt = self.all_poses(pick_ids)
-        poses_j, gt_j = jnp.asarray(poses), jnp.asarray(poses_gt)
-        if poses.shape[0] > 2:
-            try:
-                aligned, _ = T.prealign_cameras(poses_j, gt_j)
-            except Exception:
-                aligned = poses_j
-            R_err, t_err, ate = T.evaluate_camera_alignment(
-                lie.pose_invert(aligned), lie.pose_invert(gt_j))
-            r_deg = float(np.rad2deg(np.asarray(R_err).mean()))
-            t_e = float(np.asarray(t_err).mean())
-            ate = float(ate)
-        else:
-            rel_gt = lie.pose_compose_pair(lie.pose_invert(gt_j[0]), gt_j[1])
-            rel_est = lie.pose_compose_pair(lie.pose_invert(poses_j[0]), poses_j[1])
-            t_e = float(lie.translation_angle_deg(rel_est[:3, 3], rel_gt[:3, 3]))
-            r_deg = float(np.rad2deg(np.asarray(
-                lie.rotation_distance(rel_gt[:3, :3], rel_est[:3, :3]))))
-            ate = float("nan")
+        with on_host_cpu():  # eager eval math stays off the TPU tunnel
+            poses_j, gt_j = jnp.asarray(poses), jnp.asarray(poses_gt)
+            if poses.shape[0] > 2:
+                try:
+                    aligned, _ = T.prealign_cameras(poses_j, gt_j)
+                except Exception:
+                    aligned = poses_j
+                R_err, t_err, ate = T.evaluate_camera_alignment(
+                    lie.pose_invert(aligned), lie.pose_invert(gt_j))
+                r_deg = float(np.rad2deg(np.asarray(R_err).mean()))
+                t_e = float(np.asarray(t_err).mean())
+                ate = float(ate)
+            else:
+                rel_gt = lie.pose_compose_pair(lie.pose_invert(gt_j[0]), gt_j[1])
+                rel_est = lie.pose_compose_pair(lie.pose_invert(poses_j[0]),
+                                                poses_j[1])
+                t_e = float(lie.translation_angle_deg(rel_est[:3, 3],
+                                                      rel_gt[:3, 3]))
+                r_deg = float(np.rad2deg(np.asarray(
+                    lie.rotation_distance(rel_gt[:3, :3], rel_est[:3, :3]))))
+                ate = float("nan")
         if verbose:
             print(f"rot_error:{r_deg}")
             print(f"t_error:{t_e}")

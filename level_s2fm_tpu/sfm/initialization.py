@@ -17,6 +17,7 @@ import numpy as np
 
 from ..config import scene_opt
 from ..geometry import lie, transforms as T
+from ..utils.hostdev import on_host_cpu
 from . import entities, hostgeom
 from .phases import InitPhase, PhaseCfgs
 
@@ -72,9 +73,11 @@ class Initializer:
                 raise RuntimeError("two-view essential-matrix estimation failed")
             scale_init = scene_opt(opt, "scale_init", 1.0)
             rel = np.concatenate([tv.R, (tv.t * scale_init)[:, None]], axis=-1)
-            w2c1 = np.asarray(lie.pose_compose_pair(jnp.asarray(w2c0), jnp.asarray(rel)))
-            se3_0 = np.asarray(lie.SE3_to_se3(jnp.asarray(w2c0[None])))[0]
-            se3_1 = np.asarray(lie.SE3_to_se3(jnp.asarray(w2c1[None])))[0]
+            with on_host_cpu():
+                w2c1 = np.asarray(lie.pose_compose_pair(jnp.asarray(w2c0),
+                                                        jnp.asarray(rel)))
+                se3_0 = np.asarray(lie.SE3_to_se3(jnp.asarray(w2c0[None])))[0]
+                se3_1 = np.asarray(lie.SE3_to_se3(jnp.asarray(w2c1[None])))[0]
             extr = [se3_0, se3_1]
             idx2d = [None, None]
         else:
@@ -108,13 +111,16 @@ class Initializer:
         kp1 = cam1.kypts[self.kp_idx1]
         n = kp0.shape[0]
         pad = entities.pad_to_bucket(n)
-        intr = jnp.asarray(cam0.intr)
+        intr_np = np.asarray(cam0.intr, np.float32)
+        intr = jnp.asarray(intr_np)
         poses = jnp.asarray(np.stack([cam0.pose(), cam1.pose()], 0))
 
         def rays_for(pose, kps):
-            c, r = T.get_center_and_ray(jnp.asarray(pose)[None], intr,
-                                        jnp.asarray(kps, jnp.float32))
-            return np.asarray(c[0]), np.asarray(r[0])
+            with on_host_cpu():
+                c, r = T.get_center_and_ray(jnp.asarray(pose)[None],
+                                            jnp.asarray(intr_np),
+                                            jnp.asarray(kps, jnp.float32))
+                return np.asarray(c[0]), np.asarray(r[0])
 
         c0, r0 = rays_for(cam0.pose(), kp0)
         c1, r1 = rays_for(cam1.pose(), kp1)

@@ -17,6 +17,7 @@ import numpy as np
 
 from ..fields import sdf as sdf_mod
 from ..geometry import lie, transforms as T
+from ..utils.hostdev import on_host_cpu
 from . import entities, hostgeom
 from .phases import GeoInitPhase, PhaseCfgs
 
@@ -88,7 +89,9 @@ class Registration:
         if dry_run:
             return True, len(id_2d_in) / max(len(p3d_m), 1), len(id_2d_in)
         SE3 = np.concatenate([res.R, res.t.reshape(3, 1)], axis=-1)
-        camera_new.se3 = np.asarray(lie.SE3_to_se3(jnp.asarray(SE3[None], jnp.float32)))[0]
+        with on_host_cpu():
+            camera_new.se3 = np.asarray(
+                lie.SE3_to_se3(jnp.asarray(SE3[None], jnp.float32)))[0]
         new_cam_pos = len(self.cameraset)  # position the new camera will take
         pointset.update_feat_tracks(id_3d_in,
                                     [(new_cam_pos, int(k)) for k in id_2d_in])
@@ -116,11 +119,12 @@ class Registration:
         plus targets in cam_with and cam_from's kypt indices."""
         self_idx, other_idx = cam_from.matched_kypt_ids(cam_with.id)
         kps = cam_from.kypts[self_idx]
-        c, r = T.get_center_and_ray(jnp.asarray(cam_from.pose())[None],
-                                    jnp.asarray(cam_from.intr),
-                                    jnp.asarray(kps, jnp.float32))
-        return (np.asarray(c[0]), np.asarray(r[0]),
-                cam_with.kypts[other_idx].astype(np.float32), self_idx)
+        with on_host_cpu():  # eager per-pair ray setup stays off the tunnel
+            c, r = T.get_center_and_ray(jnp.asarray(cam_from.pose())[None],
+                                        jnp.asarray(cam_from.intr),
+                                        jnp.asarray(kps, jnp.float32))
+            c0, r0 = np.asarray(c[0]), np.asarray(r[0])
+        return (c0, r0, cam_with.kypts[other_idx].astype(np.float32), self_idx)
 
     def geo_init_trad(self, params, camera_new: entities.Camera,
                       pointset: entities.PointSet, key, verbose=True,
@@ -142,12 +146,13 @@ class Registration:
             P_n = camera_new.intr @ camera_new.pose()
             P_s = cam_i.intr @ cam_i.pose()
             X = hostgeom.triangulate_dlt(kp_n, kp_s, P_n, P_s)
-            uv_n, z_n = T.project_points(jnp.asarray(X)[None],
-                                         jnp.asarray(camera_new.pose())[None],
-                                         jnp.asarray(camera_new.intr)[None])
-            uv_s, z_s = T.project_points(jnp.asarray(X)[None],
-                                         jnp.asarray(cam_i.pose())[None],
-                                         jnp.asarray(cam_i.intr)[None])
+            with on_host_cpu():
+                uv_n, z_n = T.project_points(jnp.asarray(X)[None],
+                                             jnp.asarray(camera_new.pose())[None],
+                                             jnp.asarray(camera_new.intr)[None])
+                uv_s, z_s = T.project_points(jnp.asarray(X)[None],
+                                             jnp.asarray(cam_i.pose())[None],
+                                             jnp.asarray(cam_i.intr)[None])
             re_n = np.linalg.norm(np.asarray(uv_n)[0] - kp_n, axis=-1)
             re_s = np.linalg.norm(np.asarray(uv_s)[0] - kp_s, axis=-1)
             ok = ((re_n < reproj_max) & (re_s < reproj_max)
@@ -162,12 +167,13 @@ class Registration:
             camera_new.idx2d_to_3d[kn[ok]] = idx
             self.cameraset(src_id).idx2d_to_3d[ko[ok]] = idx
             all_new_pts.append(X[ok])
-            c, r = T.get_center_and_ray(jnp.asarray(camera_new.pose())[None],
-                                        jnp.asarray(camera_new.intr),
-                                        jnp.asarray(camera_new.kypts[kn[ok]],
-                                                    jnp.float32))
-            all_c.append(np.asarray(c[0]))
-            all_r.append(np.asarray(r[0]))
+            with on_host_cpu():
+                c, r = T.get_center_and_ray(jnp.asarray(camera_new.pose())[None],
+                                            jnp.asarray(camera_new.intr),
+                                            jnp.asarray(camera_new.kypts[kn[ok]],
+                                                        jnp.float32))
+                all_c.append(np.asarray(c[0]))
+                all_r.append(np.asarray(r[0]))
         if all_new_pts and not self.opt.Ablate_config.get("ba_trad", False):
             X = np.concatenate(all_new_pts)
             params = fit_sdf_to_points(self.opt, self.cfgs, params, X,

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..fields import sdf as sdf_mod
 from ..geometry import transforms as T
 from ..rendering import renderer as ren_mod
+from .hostdev import on_host_cpu
 from . import marching_cubes as mc
 
 
@@ -194,9 +195,11 @@ def render_full_image(params, cfgs, pose, intr, H: int, W: int,
 
     Returns dict with rgb [H,W,3], depth [H,W], normal [H,W,3].
     """
-    grid = T.mesh_grid(H, W)
-    center, ray = T.get_center_and_ray(jnp.asarray(pose)[None],
-                                       jnp.asarray(intr), grid)
+    with on_host_cpu():  # eager ray setup + chunk slicing off the tunnel
+        grid = T.mesh_grid(H, W)
+        center, ray = T.get_center_and_ray(jnp.asarray(pose)[None],
+                                           jnp.asarray(np.asarray(intr)), grid)
+        center, ray = np.asarray(center), np.asarray(ray)
     render_fn = lambda c, r: _render_rays(  # noqa: E731
         params["sdf"], cfgs.sdf, params["rad"], cfgs.rad, cfgs.ren, c, r)
     rgbs, deps, nrms = [], [], []
@@ -208,8 +211,8 @@ def render_full_image(params, cfgs, pose, intr, H: int, W: int,
         r = ray[:, i:end]
         pad = ray_batch - (end - i)
         if pad:
-            c = jnp.concatenate([c, jnp.repeat(c[:, -1:], pad, axis=1)], axis=1)
-            r = jnp.concatenate([r, jnp.repeat(r[:, -1:], pad, axis=1)], axis=1)
+            c = np.concatenate([c, np.repeat(c[:, -1:], pad, axis=1)], axis=1)
+            r = np.concatenate([r, np.repeat(r[:, -1:], pad, axis=1)], axis=1)
         out = render_fn(c, r)
         rgbs.append(np.asarray(out["rgb"][0, :end - i]))
         deps.append(np.asarray(out["depth_mlp"][0, :end - i, 0]))
@@ -229,11 +232,13 @@ def render_traced_depth(params, sdf_cfg, pose, intr, H: int, W: int,
         H, W = H // factor, W // factor
         intr = np.asarray(intr).copy()
         intr[:2] /= factor
-    grid = T.mesh_grid(H, W)
-    center, ray = T.get_center_and_ray(jnp.asarray(pose)[None],
-                                       jnp.asarray(intr), grid)
-    res = sdf_mod.sphere_tracing(params["sdf"], sdf_cfg, center, ray,
-                                 key=key or jrandom.PRNGKey(0))
+    with on_host_cpu():  # eager ray setup off the tunnel
+        grid = T.mesh_grid(H, W)
+        center, ray = T.get_center_and_ray(jnp.asarray(pose)[None],
+                                           jnp.asarray(np.asarray(intr)), grid)
+        center, ray = np.asarray(center), np.asarray(ray)
+    res = sdf_mod.sphere_tracing(params["sdf"], sdf_cfg, jnp.asarray(center),
+                                 jnp.asarray(ray), key=key or jrandom.PRNGKey(0))
     normals = sdf_mod.gradient(params["sdf"], sdf_cfg, res.pts_surface)
     n_unit = np.asarray(normals[0]) / (np.linalg.norm(
         np.asarray(normals[0]), axis=-1, keepdims=True) + 1e-12)

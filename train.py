@@ -79,6 +79,12 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+    if not opt.get("cpu", False):
+        # expose a host 'cpu' backend alongside the accelerator so the
+        # orchestrator's tiny eager pose/ray/eval math runs locally
+        # instead of as per-primitive TPU-tunnel round trips
+        from level_s2fm_tpu.utils.hostdev import ensure_host_cpu_backend
+        ensure_host_cpu_backend()
     # persistent compilation cache (remote-TPU compiles cost minutes each)
     try:
         jax.config.update("jax_compilation_cache_dir",
