@@ -1,6 +1,7 @@
 """Benchmark: fwd+bwd volumetric-render training step throughput (rays/s).
 
 Flags: --quick (small config), --full (reference 8192-ray batch),
+--profile (write a jax.profiler trace of the measured loop),
 --no-occ (disable the default occupancy-guided sample compaction and
 evaluate all 128 samples, the reference's behavior),
 --f32 (full-precision hash tables; default is bf16 reads + f32 accum),
@@ -178,6 +179,13 @@ def main():
             if attempt == 2:
                 raise
             time.sleep(30)
+    if "--profile" in sys.argv:
+        # one traced run for kernel-level analysis; view with
+        # tensorboard --logdir <dir> (trace_viewer) or xprof
+        trace_dir = os.environ.get("BENCH_TRACE_DIR", "/tmp/ls2fm_trace")
+        with jax.profiler.trace(trace_dir):
+            jax.block_until_ready(run_steps(params))
+        print(f"# profiler trace written to {trace_dir}", file=sys.stderr)
     t0 = time.perf_counter()
     out = run_steps(params)
     jax.block_until_ready(out)
