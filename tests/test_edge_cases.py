@@ -86,3 +86,41 @@ def test_infer_sdf_host_bucketed():
         assert got.shape == (n,)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
     assert sdf_mod.infer_sdf_host(params, cfg, np.zeros((0, 3))).shape == (0,)
+
+
+def test_checkpoint_v1_format_restores(tmp_path):
+    """The round-1 checkpoint format (pickled treedef + leaves) must keep
+    restoring after refactors of the v2 path-based format."""
+    import pickle
+    import jax
+    import numpy as np
+    from level_s2fm_tpu.utils import checkpoint as ck
+
+    params = {"sdf": {"table": np.ones((2, 4, 2), np.float32),
+                      "beta": np.asarray([-3.0], np.float32)},
+              "rad": [np.zeros((3, 3), np.float32)]}
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    payload = {"version": 1, "it": 3,
+               "treedef": pickle.dumps(treedef),
+               "leaves": [np.asarray(l) for l in leaves],
+               "cam_info": {"cam_id": []}, "pts_info": {"xyzs": []}}
+    path = tmp_path / "model.ckpt"
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+    restored, cam_info, pts_info, it = ck.restore_checkpoint_sfm(str(path))
+    assert it == 3 and cam_info == {"cam_id": []}
+    for a, b in zip(jax.tree_util.tree_leaves(restored), leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # v2 roundtrip of the same tree through the path-based format
+    class _Set:
+        def get_parameters(self):
+            return {"ok": True}
+    ck.save_checkpoint_sfm(str(tmp_path / "v2.ckpt"), params, _Set(), _Set(),
+                           it=9)
+    r2, ci, pi, it2 = ck.restore_checkpoint_sfm(str(tmp_path / "v2.ckpt"))
+    assert it2 == 9 and ci == {"ok": True} and pi == {"ok": True}
+    assert isinstance(r2["rad"], list)  # sequence structure survives
+    for a, b in zip(jax.tree_util.tree_leaves(r2), leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
