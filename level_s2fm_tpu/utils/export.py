@@ -281,10 +281,48 @@ def render_novel_views(params, cfgs, anchor_pose, intr, H, W, n_views=60,
     return np.stack(frames)
 
 
+def export_all_rgb(opt, model, n_video_views: int = 30):
+    """Per-camera result dump (ref `pipelines/base.py:228-284` vis_all_rgb,
+    gated by `opt.vis_all_rgb` at `LevelS2fM.py:219-220`): for EVERY
+    registered camera, sphere-traced depth + normals, the sliced
+    full-image render (rgb / rendered depth / rendered normals), and a
+    novel-view synthesis video (ref `Camera.py:313-341`, N=30)."""
+    import imageio.v2 as imageio
+
+    from . import vis as vis_mod
+
+    out = os.path.join(opt.output_path, "image_all")
+    os.makedirs(out, exist_ok=True)
+    H, W = model.cfgs.H, model.cfgs.W
+
+    def save_img(name, arr01):
+        imageio.imwrite(os.path.join(out, name),
+                        (np.clip(np.asarray(arr01), 0, 1) * 255).astype(np.uint8))
+
+    for cam in model.camera_set.cameras:
+        pose, intr = cam.pose(), cam.intr
+        traced = render_traced_depth(model.params, model.sdf_cfg, pose, intr, H, W)
+        save_img(f"dp_{cam.id}.jpg", vis_mod.colorize(traced["depth"]))
+        save_img(f"norm_{cam.id}.jpg", (traced["normal"] + 1) / 2)
+        ren = render_full_image(model.params, model.cfgs, pose, intr, H, W)
+        save_img(f"rgb_render_{cam.id}.jpg", ren["rgb"])
+        save_img(f"dp_render_{cam.id}.jpg", vis_mod.colorize(ren["depth"]))
+        save_img(f"norm_render_{cam.id}.jpg", (ren["normal"] + 1) / 2)
+        save_img(f"rgb_gt_{cam.id}.jpg", cam.img)
+        if n_video_views:
+            frames = render_novel_views(model.params, model.cfgs, pose, intr,
+                                        H, W, n_views=n_video_views, scale=0.1)
+            write_video(os.path.join(out, f"novel_view_{cam.id}.mp4"),
+                        list(frames))
+
+
 def export_results(opt, model, resolution: int = 256):
     """`--get_result` path: mesh + point cloud + cameras + a rendered view
     (ref `LevelS2fM.py:207-232`)."""
     out = opt.output_path
+    if opt.get("vis_all_rgb", False):  # ref `LevelS2fM.py:219-220`
+        export_all_rgb(opt, model,
+                       n_video_views=int(opt.get("vis_all_rgb_video_views", 30)))
     mesh_dir = os.path.join(out, "mesh")
     os.makedirs(mesh_dir, exist_ok=True)
     extract_mesh_high_res(model.params, model.sdf_cfg,

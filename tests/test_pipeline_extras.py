@@ -93,3 +93,27 @@ def test_get_result_auto_restores(tmp_path):
     assert os.path.exists(os.path.join(out, "mesh", "high_res.ply"))
     assert os.path.exists(os.path.join(out, "sparse", "0", "points3D.bin"))
     assert os.path.exists(os.path.join(out, "viewer.html"))
+
+
+def test_get_result_vis_all_rgb(tmp_path):
+    """--get_result --vis_all_rgb dumps per-camera depth/normal/render
+    images and a novel-view video (ref base.py vis_all_rgb surface)."""
+    import os
+    import train as train_mod
+
+    out = str(tmp_path / "run")
+    argv = ["--yaml=configs/synthetic.yaml", "--cpu", "--sfm_mode=fast",
+            "--max_views=2", f"--output_path={out}",
+            "--optim.init.max_iter=4", "--optim.geoinit.max_iter=1",
+            "--optim.ba.max_iter=2", "--optim.refine.max_iter=2"]
+    train_mod.main(argv)
+    train_mod.main(argv + ["--get_result", "--vis_all_rgb",
+                           "--vis_all_rgb_video_views=2"])
+    img_all = os.path.join(out, "image_all")
+    files = os.listdir(img_all)
+    for cam_id in (0, 1):
+        for stem in (f"dp_{cam_id}.jpg", f"norm_{cam_id}.jpg",
+                     f"rgb_render_{cam_id}.jpg", f"dp_render_{cam_id}.jpg",
+                     f"norm_render_{cam_id}.jpg", f"rgb_gt_{cam_id}.jpg"):
+            assert stem in files, (stem, files)
+        assert any(f.startswith(f"novel_view_{cam_id}.") for f in files), files
