@@ -172,9 +172,44 @@ class Initializer:
         pts_surface, finish = self.phase.triangulate(params, self.batch,
                                                      jax.random.fold_in(key, 1))
         self._triangulate_host(np.asarray(pts_surface), np.asarray(finish))
+        if verbose:
+            self._print_relpose_oracle()
         self.cameraset.eval_poses(verbose=verbose)
         self._metrics = metrics
         return params
+
+    def _print_relpose_oracle(self):
+        """In-loop oracle comparing the 5-point-algorithm relative pose and
+        the learned relative pose against GT (ref `Initialization.py:221-248`
+        essential_2view: '5 points algo rot_error' / 'our algo rot_error')."""
+        try:
+            from . import hostgeom
+            cam0, cam1 = self.cameraset.cameras[0], self.cameraset.cameras[1]
+            kp0 = cam0.kypts[self.kp_idx0]
+            kp1 = cam1.kypts[self.kp_idx1]
+            tv = hostgeom.estimate_essential(kp0, kp1,
+                                             np.asarray(cam0.intr, np.float64))
+            if not tv.success:
+                return
+            with on_host_cpu():
+                rel_5pt = jnp.asarray(
+                    np.concatenate([tv.R, tv.t[:, None]], -1), jnp.float32)
+                rel_gt = lie.pose_compose_pair(
+                    lie.pose_invert(jnp.asarray(cam0.pose_gt)),
+                    jnp.asarray(cam1.pose_gt))
+                rel_est = lie.pose_compose_pair(
+                    lie.pose_invert(jnp.asarray(cam0.pose())),
+                    jnp.asarray(cam1.pose()))
+                for name, rel in (("5 points algo", rel_5pt),
+                                  ("our algo", rel_est)):
+                    r_err = float(np.rad2deg(np.asarray(
+                        lie.rotation_distance(rel_gt[:3, :3], rel[:3, :3]))))
+                    t_err = float(lie.translation_angle_deg(rel[:3, 3],
+                                                            rel_gt[:3, 3]))
+                    print(f"{name} rot_error:{r_err}")
+                    print(f"{name} translation_error:{t_err}")
+        except Exception as e:  # a diagnostic print must never kill a run
+            print(f"relpose oracle skipped: {e}")
 
     def run_trad(self, params, key, verbose: bool = True):
         """tri_trad ablation: DLT triangulation, then SDF post-fit
