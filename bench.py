@@ -41,14 +41,17 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
     # persistent compilation cache: the remote-TPU compile costs minutes
-    # per program; cached executables load in seconds on re-runs
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                       ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # per program; cached executables load in seconds on re-runs. TPU
+    # backend only — cross-machine CPU AOT reloads trip XLA's
+    # machine-feature check ("execution errors such as SIGILL").
+    if not CPU:
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                           ".jax_cache"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
     if not CPU:
         # Device-acquisition watchdog: a wedged axon tunnel makes
         # jax.devices() HANG (observed, not raise) — without a bound the

@@ -85,14 +85,18 @@ def main(argv=None):
         # instead of as per-primitive TPU-tunnel round trips
         from level_s2fm_tpu.utils.hostdev import ensure_host_cpu_backend
         ensure_host_cpu_backend()
-    # persistent compilation cache (remote-TPU compiles cost minutes each)
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                       ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # persistent compilation cache (remote-TPU compiles cost minutes each).
+    # TPU backend only: reloading CPU AOT executables across machines trips
+    # XLA's machine-feature check ("could lead to execution errors such as
+    # SIGILL"), and CPU compiles are cheap anyway.
+    if not opt.get("cpu", False):
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                           ".jax_cache"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
 
     # --parallel.data_devices=N|all : activate an N-device ('data',) mesh;
     # phase steps shard ray/track batches over it and XLA all-reduces the
