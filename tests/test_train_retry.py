@@ -95,3 +95,26 @@ def test_main_reexecs_on_transient_failure(tmp_path, monkeypatch):
     monkeypatch.setenv("LS2FM_RETRY_ATTEMPT", "0")
     with pytest.raises(RuntimeError, match="TPU worker"):
         train_mod.main([a for a in argv if not a.startswith("--auto_retry")])
+
+
+def test_run_refuses_silent_cpu_fallback(tmp_path, monkeypatch):
+    """If the accelerator platform fails to init (default backend becomes
+    cpu) a non---cpu run must abort loudly, not train on CPU silently."""
+    import contextlib
+    import jax
+    from level_s2fm_tpu.config import build_options
+
+    opt = build_options(["--yaml=configs/synthetic.yaml",
+                         f"--output_path={tmp_path}"])
+    assert not opt.get("cpu", False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    with pytest.raises(RuntimeError, match="accelerator backend failed"):
+        train_mod._run(opt, [], contextlib.nullcontext())
+    # explicit --cpu opts in (reaches data loading instead of the guard)
+    opt_cpu = build_options(["--yaml=configs/synthetic.yaml", "--cpu",
+                             f"--output_path={tmp_path}", "--max_views=2",
+                             "--sfm_mode=fast", "--optim.init.max_iter=2",
+                             "--optim.geoinit.max_iter=1",
+                             "--optim.ba.max_iter=1"])
+    model = train_mod._run(opt_cpu, [], contextlib.nullcontext())
+    assert len(model.camera_set) == 2

@@ -130,7 +130,15 @@ def main(argv=None):
 
 
 def _run(opt, argv, mesh_ctx):
+    import jax
+
     from level_s2fm_tpu.sfm.pipeline import LevelSfM
+    if not opt.get("cpu", False) and jax.default_backend() == "cpu":
+        # with jax_platforms="<accel>,cpu" a failed accelerator init can
+        # fall through to the cpu backend — never train there silently
+        raise RuntimeError(
+            "accelerator backend failed to initialize (default backend is "
+            "cpu); pass --cpu to opt in to CPU training explicitly")
     with mesh_ctx:
         model = LevelSfM(opt, seed=int(opt.get("seed", 0)))
         model.load_data(build_var(opt))
