@@ -102,6 +102,11 @@ class CameraSet:
     def eval_poses(self, pick_ids: Optional[Sequence[int]] = None, verbose=True):
         """Procrustes-aligned rot/t errors + ATE; 2-view relative fallback
         (ref `pipelines/Camera.py:583-620`)."""
+        from ..utils.obs import HOST_TIMERS
+        with HOST_TIMERS.track("host_eval_poses"):
+            return self._eval_poses_impl(pick_ids, verbose)
+
+    def _eval_poses_impl(self, pick_ids, verbose):
         poses, poses_gt = self.all_poses(pick_ids)
         with on_host_cpu():  # eager eval math stays off the TPU tunnel
             poses_j, gt_j = jnp.asarray(poses), jnp.asarray(poses_gt)

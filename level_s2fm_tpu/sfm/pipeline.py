@@ -334,5 +334,7 @@ class LevelSfM:
         if verbose and self.timers.totals:
             Log.info("phase timing:", self.timers.summary())
         from ..utils import obs as _obs
+        if verbose and _obs.HOST_TIMERS.totals:
+            Log.info("host timing:", _obs.HOST_TIMERS.summary())
         if verbose and _obs.COMPILES.signatures:
             Log.info("compiled shape buckets:", _obs.COMPILES.summary())

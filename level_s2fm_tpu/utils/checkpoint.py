@@ -74,6 +74,13 @@ def _tree_from_paths(entries):
 
 def save_checkpoint_sfm(path: str, params, cameraset, pointset,
                         it: int = 0, extra: Optional[dict] = None):
+    from .obs import HOST_TIMERS
+    with HOST_TIMERS.track("host_checkpoint"):
+        return _save_checkpoint_sfm(path, params, cameraset, pointset,
+                                    it=it, extra=extra)
+
+
+def _save_checkpoint_sfm(path, params, cameraset, pointset, it, extra):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
         "version": 2,

@@ -138,6 +138,13 @@ class PhaseTimers:
                 for k, v in self.totals.items()}
 
 
+# module-level timer for host-side work that happens OUTSIDE the phase
+# timers (pose eval, checkpointing, batch assembly) — the round-2
+# synthprep run had >1h of wall-clock unaccounted for by phase timing;
+# this makes that bucket visible in the end-of-run summary.
+HOST_TIMERS = PhaseTimers()
+
+
 class CompileCounter:
     """Distinct (phase, batch-shape-signature) tracker.
 
