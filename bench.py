@@ -6,6 +6,8 @@ Flags: --quick (small config), --full (reference 8192-ray batch),
 evaluate all 128 samples, the reference's behavior),
 --f32 (full-precision hash tables; default is bf16 reads + f32 accum),
 --ba (neural-BA step throughput instead of the render step),
+--paired (gather dense-level corner pairs as 2-row slices; A/B candidate),
+--microgather (hash-encode fwd+bwd microbench, default vs --paired path),
 --cpu (force CPU backend; for local debugging only).
 
 Runs the flagship hot path — VolSDF render of the hash-grid SDF + radiance
@@ -108,7 +110,8 @@ def main():
                 # gradient accumulation; --f32 measures full-precision)
                 "Hash_config": {"compute_dtype":
                                 ("float32" if "--f32" in sys.argv
-                                 else "bfloat16")}},
+                                 else "bfloat16"),
+                                "paired_dense": "--paired" in sys.argv}},
         "RadF": {"arch": {"layers": [None, 64, 64, 3], "skip": []}},
         "data": {"bound_min": [-1, -1, -1], "bound_max": [1, 1, 1],
                  "inside": True, "bg_sdf": None, "bg_rad": 2.0,
@@ -127,6 +130,10 @@ def main():
         [rng.normal(size=(1, n_rays, 2)) * 0.15, np.ones((1, n_rays, 1))],
         axis=-1).astype(np.float32))
     rgb_gt = jnp.asarray(rng.uniform(0, 1, size=(1, n_rays, 3)).astype(np.float32))
+
+    if "--microgather" in sys.argv:
+        bench_microgather(sdf_cfg, params, QUICK)
+        return
 
     if "--ba" in sys.argv:
         bench_ba(opt, sdf_cfg, rad_cfg, ren_cfg, params, QUICK)
@@ -216,6 +223,54 @@ def main():
         "unit": "rays/s" + (" (cpu)" if CPU else "") + (occ_tag and " (occ-compacted default path)"),
         "vs_baseline": round(rays_per_s / baseline, 3) if baseline else None,
         "baseline_key": cfg_key,
+    }))
+
+
+def bench_microgather(sdf_cfg, params, quick):
+    """Hash-encode fwd+bwd microbenchmark: default row gather vs the
+    paired dense-level gather (HashGridConfig.paired_dense), same table.
+    Manual A/B harness — prints one JSON line with both timings."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from level_s2fm_tpu.fields import hashgrid
+
+    cfg = sdf_cfg.grid
+    table = params["sdf"]["table"]
+    N = 8192 if quick else 65536
+    x = jnp.asarray(np.random.default_rng(0)
+                    .uniform(0, 1, size=(N, 3)).astype(np.float32))
+    cot = jnp.asarray(np.random.default_rng(1).normal(
+        size=(N, cfg.n_levels * cfg.n_features_per_level)).astype(np.float32))
+    iters = 3 if quick else 20
+
+    def time_mode(c):
+        def loss(t):
+            enc, denc = hashgrid.encode_with_grad(t, x, c)
+            return jnp.sum(enc * cot) + 1e-3 * jnp.sum(denc)
+
+        @jax.jit
+        def steps(t):
+            def body(acc, _):
+                v, g = jax.value_and_grad(loss)(t)
+                return acc + v + 1e-12 * jnp.sum(jnp.abs(g)), None
+            acc, _ = jax.lax.scan(body, 0.0, None, length=iters)
+            return acc
+
+        jax.block_until_ready(steps(table))
+        t0 = time.perf_counter()
+        jax.block_until_ready(steps(table))
+        return (time.perf_counter() - t0) / iters * 1e3  # ms/iter
+
+    ms_default = time_mode(dataclasses.replace(cfg, paired_dense=False))
+    ms_paired = time_mode(dataclasses.replace(cfg, paired_dense=True))
+    print(json.dumps({
+        "metric": "hash_encode_fwd_bwd_ms",
+        "value": round(ms_paired, 3),
+        "unit": f"ms/iter (N={N}, paired_dense)",
+        "vs_baseline": round(ms_default / ms_paired, 3),
+        "default_ms": round(ms_default, 3),
+        "n_dense_levels": cfg.n_dense_levels,
     }))
 
 

@@ -41,10 +41,25 @@ class HashGridConfig:
     # 'bfloat16' halves the gather payload (+20% measured on TPU); the
     # master table stays f32 (cast before the gather, features cast back)
     compute_dtype: str = "float32"
+    # Gather x-adjacent corner pairs of the DENSE levels as one 2-row
+    # slice (4 paired gathers instead of 8 row gathers). Dense levels use
+    # x-fastest row-major indexing, so corners (x,y,z)/(x+1,y,z) are
+    # consecutive table rows; gather cost on TPU is per-row, so this
+    # halves the gathered row count for the dense prefix of the pyramid
+    # (~1/3 of all rows at the reference config). Off by default until
+    # measured on chip (bench.py --microgather A/Bs it).
+    paired_dense: bool = False
 
     @property
     def table_size(self) -> int:
         return 1 << self.log2_hashmap_size
+
+    @property
+    def n_dense_levels(self) -> int:
+        """Static count of the dense prefix: levels whose full corner grid
+        fits in the table (resolutions are monotonically increasing)."""
+        res = self.resolutions().astype(np.int64)
+        return int(np.sum((res + 1) ** 3 <= self.table_size))
 
     @property
     def out_dim(self) -> int:
@@ -73,7 +88,8 @@ def config_from_opt(opt, bound_extent: Optional[float] = None) -> HashGridConfig
     return HashGridConfig(n_levels=L, n_features_per_level=F,
                           log2_hashmap_size=log2_T, base_resolution=N_min,
                           per_level_scale=b,
-                          compute_dtype=str(hc.get("compute_dtype", "float32")))
+                          compute_dtype=str(hc.get("compute_dtype", "float32")),
+                          paired_dense=bool(hc.get("paired_dense", False)))
 
 
 def init_table(key, cfg: HashGridConfig, dtype=jnp.float32) -> jnp.ndarray:
@@ -140,6 +156,38 @@ def _table_gather_jvp(bf16, primals, tangents):
     return out, dout
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2,))
+def _table_gather_pair(flat: jnp.ndarray, gi: jnp.ndarray, bf16: bool) -> jnp.ndarray:
+    """Gather CONSECUTIVE row pairs [gi, gi+1] from the [M, F] table in one
+    XLA gather (slice_sizes=(2, F)) — half the gathered rows of the plain
+    row gather for the same feature payload. Same lane-packed tangent
+    trick as ``_table_gather``: the tangent is a scalar gather of 2F
+    consecutive elements from the 1-D flattened table, so its transpose
+    (the table-cotangent scatter) is a flat, lane-dense scatter-add of
+    2F-contiguous runs. Returns [n, 2, F]."""
+    src = flat.astype(jnp.bfloat16) if bf16 else flat
+    F = flat.shape[1]
+    out = jax.lax.gather(
+        src, gi[:, None],
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(),
+            start_index_map=(0,)),
+        slice_sizes=(2, F),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    return out.astype(flat.dtype)
+
+
+@_table_gather_pair.defjvp
+def _table_gather_pair_jvp(bf16, primals, tangents):
+    flat, gi = primals
+    dflat, _ = tangents
+    out = _table_gather_pair(flat, gi, bf16)
+    F = flat.shape[1]
+    gidx = gi[:, None] * F + jnp.arange(2 * F, dtype=gi.dtype)[None, :]
+    dout = dflat.reshape(-1)[gidx].reshape(gi.shape[0], 2, F)
+    return out, dout
+
+
 def _flat_gather(table: jnp.ndarray, idx: jnp.ndarray,
                  cfg: HashGridConfig) -> jnp.ndarray:
     """Gather [L,N,8] per-level indices from the [L,T,F] table as one flat
@@ -152,6 +200,84 @@ def _flat_gather(table: jnp.ndarray, idx: jnp.ndarray,
     return out.reshape(*idx.shape, F).astype(table.dtype)
 
 
+_OFFSETS8 = tuple((i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1))
+
+
+def _corner_data(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig):
+    """Gather the 8 trilerp corner features for every level.
+
+    x: [N,3] in [0,1]^3. Returns (feats [L,N,8,F], frac [L,N,3], jac_gate)
+    where jac_gate is None on the default path and a {0,1} float mask
+    [L,N,3] on the paired-dense path — zero where the position is clamped
+    to the grid edge, so the analytic spatial Jacobian matches the default
+    path's clamp-to-edge behavior (clipped duplicate corners cancel).
+    """
+    N = x.shape[0]
+    res = jnp.asarray(cfg.resolutions())  # [L]
+    pos = x[None, :, :] * res[:, None, None].astype(x.dtype)  # [L,N,3]
+    offsets = jnp.asarray(_OFFSETS8, dtype=jnp.int32)  # [8,3]
+    nd = cfg.n_dense_levels if cfg.paired_dense else 0
+
+    if nd == 0:
+        pos_floor = jnp.floor(pos)
+        frac = pos - pos_floor  # [L,N,3]
+        base = pos_floor.astype(jnp.int32)
+        corners = base[:, :, None, :] + offsets[None, None, :, :]  # [L,N,8,3]
+        corners = jnp.clip(corners, 0, (res[:, None, None, None]))
+        res_np = cfg.resolutions().astype(np.int64)
+        dense_fits = jnp.asarray((res_np + 1) ** 3 <= cfg.table_size)[:, None, None]
+        idx = _level_indices(corners, res[:, None, None], dense_fits, cfg.table_size)
+        feats = _flat_gather(table, idx, cfg)  # [L,N,8,F]
+        return feats, frac, None
+
+    # paired-dense path: dense prefix levels fetch x-adjacent corner pairs
+    # (x is the fastest dense axis, so (x,y,z)/(x+1,y,z) are consecutive
+    # rows) as 4 two-row slices; hashed tail keeps the row gather.
+    L, T, F = table.shape
+    flat = table.reshape(L * T, F)
+    bf16 = cfg.compute_dtype == "bfloat16"
+    fdt = x.dtype
+
+    pos_d = pos[:nd]  # [nd,N,3]
+    res_d = res[:nd, None, None]  # [nd,1,1]
+    base_d = jnp.clip(jnp.floor(pos_d), 0.0, (res_d - 1).astype(fdt))
+    frac_d = jnp.clip(pos_d - base_d, 0.0, 1.0)
+    gate_d = ((pos_d >= 0.0) & (pos_d < res_d.astype(fdt))).astype(fdt)
+    base_i = base_d.astype(jnp.int32)
+    res1 = res_d + 1
+    # (y,z) offsets of the 4 pairs, in canonical corner order c = j*2+k
+    off4 = jnp.asarray([(j, k) for j in (0, 1) for k in (0, 1)], jnp.int32)
+    y4 = base_i[:, :, None, 1] + off4[None, None, :, 0]  # [nd,N,4]
+    z4 = base_i[:, :, None, 2] + off4[None, None, :, 1]
+    idx0 = base_i[:, :, None, 0] + res1 * (y4 + res1 * z4)  # [nd,N,4]
+    lvl_d = jnp.arange(nd, dtype=jnp.int32)[:, None, None] * T
+    pair = _table_gather_pair(flat, (idx0 + lvl_d).reshape(-1), bf16)
+    pair = pair.reshape(nd, N, 4, 2, F).astype(table.dtype)
+    # canonical corner order: c = i*4 + j*2 + k with i the pair axis
+    feats_d = jnp.concatenate([pair[:, :, :, 0], pair[:, :, :, 1]], axis=2)
+
+    if nd == L:
+        return feats_d, frac_d, gate_d
+
+    pos_h = pos[nd:]
+    floor_h = jnp.floor(pos_h)
+    frac_h = pos_h - floor_h
+    base_h = floor_h.astype(jnp.int32)
+    corners = base_h[:, :, None, :] + offsets[None, None, :, :]
+    corners = jnp.clip(corners, 0, (res[nd:, None, None, None]))
+    idx_h = _level_indices(corners, res[nd:, None, None],
+                           jnp.asarray(False), cfg.table_size)  # hashed only
+    lvl_h = jnp.arange(nd, L, dtype=jnp.int32)[:, None, None] * T
+    gi_h = (idx_h + lvl_h).reshape(-1)
+    feats_h = _table_gather(flat, gi_h, bf16)
+    feats_h = feats_h.reshape(L - nd, N, 8, F).astype(table.dtype)
+
+    feats = jnp.concatenate([feats_d, feats_h], axis=0)
+    frac = jnp.concatenate([frac_d, frac_h], axis=0)
+    gate = jnp.concatenate([gate_d, jnp.ones_like(frac_h)], axis=0)
+    return feats, frac, gate
+
+
 def encode(table: jnp.ndarray, x_unit: jnp.ndarray, cfg: HashGridConfig) -> jnp.ndarray:
     """Hash-encode positions.
 
@@ -161,27 +287,9 @@ def encode(table: jnp.ndarray, x_unit: jnp.ndarray, cfg: HashGridConfig) -> jnp.
     orig_shape = x_unit.shape[:-1]
     x = x_unit.reshape(-1, 3)  # [N,3]
     N = x.shape[0]
-    res = jnp.asarray(cfg.resolutions())  # [L]
+    offsets = jnp.asarray(_OFFSETS8, dtype=jnp.int32)  # [8,3]
 
-    # [L, N, 3] scaled positions per level
-    pos = x[None, :, :] * res[:, None, None].astype(x.dtype)
-    pos_floor = jnp.floor(pos)
-    frac = pos - pos_floor  # [L,N,3]
-    base = pos_floor.astype(jnp.int32)  # [L,N,3]
-
-    # 8 corner offsets
-    offsets = jnp.asarray(
-        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], dtype=jnp.int32)  # [8,3]
-    corners = base[:, :, None, :] + offsets[None, None, :, :]  # [L,N,8,3]
-    corners = jnp.clip(corners, 0, (res[:, None, None, None]))
-
-    res_np = cfg.resolutions().astype(np.int64)
-    dense_fits = jnp.asarray((res_np + 1) ** 3 <= cfg.table_size)[:, None, None]
-    idx = _level_indices(corners, res[:, None, None], dense_fits, cfg.table_size)  # [L,N,8]
-
-    # single flat gather over [L*T, F] (measured ~17% faster on TPU than the
-    # 2-D advanced-indexing form)
-    feats = _flat_gather(table, idx, cfg)  # [L,N,8,F]
+    feats, frac, _ = _corner_data(table, x, cfg)  # [L,N,8,F], [L,N,3]
 
     # trilinear weights: w = prod over dims of (1-frac or frac)
     w = jnp.where(offsets[None, None, :, :] == 1, frac[:, :, None, :], 1.0 - frac[:, :, None, :])
@@ -208,22 +316,9 @@ def encode_with_grad(table: jnp.ndarray, x_unit: jnp.ndarray,
     x = x_unit.reshape(-1, 3)
     N = x.shape[0]
     res = jnp.asarray(cfg.resolutions())
+    offsets = jnp.asarray(_OFFSETS8, dtype=jnp.int32)  # [8,3]
 
-    pos = x[None, :, :] * res[:, None, None].astype(x.dtype)
-    pos_floor = jnp.floor(pos)
-    frac = pos - pos_floor
-    base = pos_floor.astype(jnp.int32)
-
-    offsets = jnp.asarray(
-        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], dtype=jnp.int32)
-    corners = base[:, :, None, :] + offsets[None, None, :, :]
-    corners = jnp.clip(corners, 0, (res[:, None, None, None]))
-
-    res_np = cfg.resolutions().astype(np.int64)
-    dense_fits = jnp.asarray((res_np + 1) ** 3 <= cfg.table_size)[:, None, None]
-    idx = _level_indices(corners, res[:, None, None], dense_fits, cfg.table_size)
-
-    feats = _flat_gather(table, idx, cfg)               # [L,N,8,F]
+    feats, frac, gate = _corner_data(table, x, cfg)     # [L,N,8,F], [L,N,3]
 
     sgn = jnp.where(offsets[None, None, :, :] == 1, 1.0, -1.0)      # [1,1,8,3]
     wd = jnp.where(offsets[None, None, :, :] == 1,
@@ -235,7 +330,13 @@ def encode_with_grad(table: jnp.ndarray, x_unit: jnp.ndarray,
     others = jnp.stack([wd[..., 1] * wd[..., 2],
                         wd[..., 0] * wd[..., 2],
                         wd[..., 0] * wd[..., 1]], axis=-1)           # [L,N,8,3]
-    dw_dx = sgn * others * res[:, None, None, None].astype(x.dtype)  # [L,N,8,3]
+    dscale = res[:, None, None, None].astype(x.dtype)
+    if gate is not None:
+        # clamp-to-edge: the Jacobian vanishes where the position is
+        # clipped (the default path gets this from duplicate corners
+        # cancelling; the paired path reads the true neighbor, so gate)
+        dscale = dscale * gate[:, :, None, :]
+    dw_dx = sgn * others * dscale                                    # [L,N,8,3]
     denc = jnp.einsum("lncf,lncj->lnfj", feats, dw_dx)               # [L,N,F,3]
 
     enc = jnp.moveaxis(enc, 0, 1).reshape(N, cfg.n_levels * cfg.n_features_per_level)

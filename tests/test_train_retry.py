@@ -108,8 +108,21 @@ def test_run_refuses_silent_cpu_fallback(tmp_path, monkeypatch):
                          f"--output_path={tmp_path}"])
     assert not opt.get("cpu", False)
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    # an accelerator was REQUESTED (platforms "axon,cpu") but the default
+    # backend resolved to cpu — the silent-fallback case the guard catches
+    monkeypatch.setattr(train_mod, "_requested_platforms", lambda: "axon,cpu")
     with pytest.raises(RuntimeError, match="accelerator backend failed"):
         train_mod._run(opt, [], contextlib.nullcontext())
+    # a process deliberately pinned to cpu (conftest's virtual mesh) is
+    # not a failure: the guard must not fire without an accelerator ask
+    monkeypatch.setattr(train_mod, "_requested_platforms", lambda: "cpu")
+    opt_mesh = build_options(["--yaml=configs/synthetic.yaml", "--max_views=2",
+                              f"--output_path={tmp_path}", "--sfm_mode=fast",
+                              "--optim.init.max_iter=2",
+                              "--optim.geoinit.max_iter=1",
+                              "--optim.ba.max_iter=1"])
+    model = train_mod._run(opt_mesh, [], contextlib.nullcontext())
+    assert len(model.camera_set) == 2
     # explicit --cpu opts in (reaches data loading instead of the guard)
     opt_cpu = build_options(["--yaml=configs/synthetic.yaml", "--cpu",
                              f"--output_path={tmp_path}", "--max_views=2",

@@ -129,13 +129,27 @@ def main(argv=None):
         os.execv(sys.executable, [sys.executable, here] + new_argv)
 
 
+def _requested_platforms() -> str:
+    """The jax_platforms config string ('' when unset/auto-detect)."""
+    import jax
+    try:
+        return jax.config.jax_platforms or ""
+    except Exception:
+        return ""
+
+
 def _run(opt, argv, mesh_ctx):
     import jax
 
     from level_s2fm_tpu.sfm.pipeline import LevelSfM
-    if not opt.get("cpu", False) and jax.default_backend() == "cpu":
+    platforms = _requested_platforms().split(",")
+    accel_requested = bool(platforms[0].strip()) and platforms[0].strip() != "cpu"
+    if (not opt.get("cpu", False) and accel_requested
+            and jax.default_backend() == "cpu"):
         # with jax_platforms="<accel>,cpu" a failed accelerator init can
-        # fall through to the cpu backend — never train there silently
+        # fall through to the cpu backend — never train there silently.
+        # (A process deliberately pinned to jax_platforms="cpu" — e.g. the
+        # pytest conftest's virtual 8-device mesh — is not a failure.)
         raise RuntimeError(
             "accelerator backend failed to initialize (default backend is "
             "cpu); pass --cpu to opt in to CPU training explicitly")
