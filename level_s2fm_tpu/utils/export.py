@@ -132,6 +132,129 @@ def extract_mesh_high_res(params, sdf_cfg, path: str, resolution: int = 512,
     return v2_world, f2
 
 
+def _upsample2(V: np.ndarray) -> np.ndarray:
+    """Trilinear 2x corner-grid upsample: [n+1]^3 -> [2n+1]^3 with
+    midpoints as axis-separable averages (exact trilinear interpolation
+    of the coarse field)."""
+    n = V.shape[0] - 1
+    A = np.empty((2 * n + 1, V.shape[1], V.shape[2]), V.dtype)
+    A[::2] = V
+    A[1::2] = 0.5 * (V[:-1] + V[1:])
+    B = np.empty((A.shape[0], 2 * n + 1, A.shape[2]), V.dtype)
+    B[:, ::2] = A
+    B[:, 1::2] = 0.5 * (A[:, :-1] + A[:, 1:])
+    C = np.empty((B.shape[0], B.shape[1], 2 * n + 1), V.dtype)
+    C[:, :, ::2] = B
+    C[:, :, 1::2] = 0.5 * (B[:, :, :-1] + B[:, :, 1:])
+    return C
+
+
+def _cell_minmax(V: np.ndarray):
+    """Per-cell (min,max) over the 8 corners of every cell of the dense
+    corner grid V [(n+1)^3] -> two [n]^3 arrays."""
+    cmin = V[:-1, :-1, :-1]
+    cmax = V[:-1, :-1, :-1]
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                if dx == dy == dz == 0:
+                    continue
+                s = V[dx:dx + V.shape[0] - 1, dy:dy + V.shape[1] - 1,
+                      dz:dz + V.shape[2] - 1]
+                cmin = np.minimum(cmin, s)
+                cmax = np.maximum(cmax, s)
+    return cmin, cmax
+
+
+def _corner_mask_of_cells(act: np.ndarray) -> np.ndarray:
+    """Corner mask [(n+1)^3] of all corners touching an active cell [n]^3."""
+    n = act.shape[0]
+    m = np.zeros((n + 1,) * 3, bool)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                m[dx:dx + n, dy:dy + n, dz:dz + n] |= act
+    return m
+
+
+def extract_mesh_octree(params, sdf_cfg, path: Optional[str] = None,
+                        resolution: int = 257, steps: int = 2,
+                        grid_boundary=(-1.0, 1.0), level: float = 0.0,
+                        chunk: int = 65536, band: float = 2.0):
+    """MISE-style sparse octree mesh extraction (ref `utils/util_vis.py:
+    298-600` Extractor3D / Occupancy-Networks MISE; same role as
+    `plots.py:140-223` at high res).
+
+    Evaluates the SDF densely only at a coarse base grid ((resolution-1)/
+    2^steps cells per axis), then `steps` times doubles the resolution and
+    re-evaluates ONLY corners of cells within `band` cell-diagonals of the
+    zero set (eikonal training keeps the field ~unit-Lipschitz, so
+    |sdf| < band*cell_diag bounds the surface band); everything else
+    inherits trilinear-upsampled values, which preserves the sign field so
+    no spurious crossings appear at sparse/dense seams. Device evals scale
+    with surface AREA instead of volume (~25-60x fewer at 512^3).
+    Triangulates active cells only (`mc.triangulate_cells`).
+
+    Returns (verts, faces, n_evals). Writes a PLY when `path` is given.
+    """
+    lo, hi = grid_boundary
+    n_cells = resolution - 1
+    if n_cells % (1 << steps):
+        raise ValueError(f"resolution-1 ({n_cells}) must be divisible by "
+                         f"2^steps ({1 << steps})")
+    n = n_cells >> steps
+
+    def world(idx, n_now):
+        return (lo + (hi - lo) * idx.astype(np.float32) / n_now)
+
+    # base level: dense eval
+    xs = np.linspace(lo, hi, n + 1, dtype=np.float32)
+    grid = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1).reshape(-1, 3)
+    V = _eval_sdf_chunked(params, sdf_cfg, grid, chunk).astype(
+        np.float32).reshape(n + 1, n + 1, n + 1)
+    known = np.ones_like(V, bool)
+    n_evals = grid.shape[0]
+
+    for _ in range(steps):
+        V = _upsample2(V)
+        known2 = np.zeros_like(V, bool)
+        known2[::2, ::2, ::2] = known
+        known = known2
+        n *= 2
+        cell_diag = (hi - lo) / n * np.sqrt(3.0)
+        # fixpoint: newly-evaluated corners can activate neighbor cells
+        for _fix in range(3):
+            cmin, cmax = _cell_minmax(V)
+            act = (cmin <= level + band * cell_diag) & \
+                  (cmax >= level - band * cell_diag)
+            need = _corner_mask_of_cells(act) & ~known
+            if not need.any():
+                break
+            idx = np.argwhere(need)
+            pts = world(idx, n)
+            V[need] = _eval_sdf_chunked(params, sdf_cfg, pts, chunk)
+            known[need] = True
+            n_evals += idx.shape[0]
+
+    # triangulate only the active band at the final level
+    cmin, cmax = _cell_minmax(V)
+    act = (cmin < level) & (cmax >= level)
+    cells = np.argwhere(act)
+    if cells.shape[0] == 0:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
+                n_evals)
+    corner_pos = cells[:, None, :] + mc._CORNER_OFFSETS[None].astype(np.int64)
+    corner_val = V[corner_pos[..., 0], corner_pos[..., 1], corner_pos[..., 2]]
+    sp = (hi - lo) / n
+    verts, faces = mc.triangulate_cells(corner_pos, corner_val, level=level,
+                                        origin=(lo, lo, lo),
+                                        spacing=(sp, sp, sp))
+    if path is not None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        mc.write_ply(path, verts, faces)
+    return verts, faces, n_evals
+
+
 def export_pointcloud(pointset, path: str):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     mc.write_ply(path, pointset.all_xyzs())
@@ -325,10 +448,20 @@ def export_results(opt, model, resolution: int = 256):
                        n_video_views=int(opt.get("vis_all_rgb_video_views", 30)))
     mesh_dir = os.path.join(out, "mesh")
     os.makedirs(mesh_dir, exist_ok=True)
-    extract_mesh_high_res(model.params, model.sdf_cfg,
-                          os.path.join(mesh_dir, "high_res.ply"),
-                          resolution=resolution,
-                          grid_boundary=(-0.6, 0.6))
+    if str(opt.get("mesh_mode", "highres")) == "octree":
+        # sparse MISE-style extraction: O(surface area) device evals
+        steps = 2
+        nc = resolution - 1
+        nc += (-nc) % (1 << steps)  # round cells up to a 2^steps multiple
+        extract_mesh_octree(model.params, model.sdf_cfg,
+                            os.path.join(mesh_dir, "high_res.ply"),
+                            resolution=nc + 1, steps=steps,
+                            grid_boundary=(-0.6, 0.6))
+    else:
+        extract_mesh_high_res(model.params, model.sdf_cfg,
+                              os.path.join(mesh_dir, "high_res.ply"),
+                              resolution=resolution,
+                              grid_boundary=(-0.6, 0.6))
     export_pointcloud(model.point_set, os.path.join(out, "pointcloud.ply"))
     export_cameras_json(model.camera_set, os.path.join(out, "cameras.json"))
     export_colmap_model(model.camera_set, model.point_set,

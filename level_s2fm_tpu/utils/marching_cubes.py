@@ -31,26 +31,62 @@ def _interp(p0, p1, v0, v1, level):
 
 
 def marching_cubes(volume: np.ndarray, level: float = 0.0,
-                   origin=(0.0, 0.0, 0.0), spacing=(1.0, 1.0, 1.0)
-                   ) -> Tuple[np.ndarray, np.ndarray]:
+                   origin=(0.0, 0.0, 0.0), spacing=(1.0, 1.0, 1.0),
+                   slab_cells: int = 32) -> Tuple[np.ndarray, np.ndarray]:
     """Extract the iso-surface of `volume` [Nx,Ny,Nz] at `level`.
 
     Returns (vertices [V,3] in world units, faces [F,3] int32).
+    Processes the volume in z-slabs of `slab_cells` cells so peak host
+    memory scales with the active-cell count, not Nx*Ny*Nz*8 (a dense
+    512^3 corner table would be ~13 GB).
     """
     vol = np.asarray(volume, np.float64)
     nx, ny, nz = vol.shape
     cx, cy, cz = nx - 1, ny - 1, nz - 1
 
-    cells = np.stack(np.meshgrid(np.arange(cx), np.arange(cy), np.arange(cz),
-                                 indexing="ij"), axis=-1).reshape(-1, 3)
-    corner_pos = cells[:, None, :] + _CORNER_OFFSETS[None]          # [C,8,3]
-    corner_val = vol[corner_pos[..., 0], corner_pos[..., 1], corner_pos[..., 2]]
+    pos_parts, val_parts = [], []
+    for z0 in range(0, cz, slab_cells):
+        z1 = min(z0 + slab_cells, cz)
+        cells = np.stack(np.meshgrid(np.arange(cx), np.arange(cy),
+                                     np.arange(z0, z1), indexing="ij"),
+                         axis=-1).reshape(-1, 3)
+        corner_pos = cells[:, None, :] + _CORNER_OFFSETS[None]      # [C,8,3]
+        corner_val = vol[corner_pos[..., 0], corner_pos[..., 1],
+                         corner_pos[..., 2]]
+        # quick reject cells fully inside/outside
+        below = corner_val < level
+        active = ~(np.all(below, 1) | np.all(~below, 1))
+        if active.any():
+            pos_parts.append(corner_pos[active])
+            val_parts.append(corner_val[active])
+    if not pos_parts:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+    return triangulate_cells(np.concatenate(pos_parts),
+                             np.concatenate(val_parts), level=level,
+                             origin=origin, spacing=spacing)
 
-    # quick reject cells fully inside/outside
+
+def triangulate_cells(corner_pos: np.ndarray, corner_val: np.ndarray,
+                      level: float = 0.0, origin=(0.0, 0.0, 0.0),
+                      spacing=(1.0, 1.0, 1.0)
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Marching-tetrahedra over an explicit cell list.
+
+    corner_pos: [C,8,3] corner coordinates in INDEX units (cell corners in
+    `_CORNER_OFFSETS` order); corner_val: [C,8] scalar field at the
+    corners. The sparse entry point for octree/MISE-style extraction
+    (ref `utils/util_vis.py:298-600` Extractor3D): callers pass only the
+    cells near the surface. Welds duplicate vertices globally, so cells
+    from different slabs/blocks stitch seamlessly.
+    """
+    corner_pos = np.asarray(corner_pos, np.float64)
+    corner_val = np.asarray(corner_val, np.float64)
     below = corner_val < level
     active = ~(np.all(below, 1) | np.all(~below, 1))
-    corner_pos = corner_pos[active].astype(np.float64)
+    corner_pos = corner_pos[active]
     corner_val = corner_val[active]
+    if corner_pos.shape[0] == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
 
     tet_pos = corner_pos[:, _TETS, :]    # [C,6,4,3]
     tet_val = corner_val[:, _TETS]       # [C,6,4]
