@@ -194,6 +194,56 @@ def process_options(opt: Opt):
                                        str(group), str(name))
 
 
+def save_options_file(opt: Opt):
+    """Persist the resolved options to ``{output_path}/options.yaml``.
+
+    Reference `utils/options.py:114-136`: when an options file from a
+    previous run exists and differs, show the diff and ask whether to
+    override. We prompt only when stdin is interactive; unattended runs
+    (the normal case on a TPU pod) print the diff as a warning and
+    proceed — aborting an autonomous resume on a cosmetic flag change
+    would be worse than the reference's behavior.
+    """
+    import difflib
+    import sys as _sys
+    fname = os.path.join(opt.output_path, "options.yaml")
+
+    def _san(v):
+        if isinstance(v, dict):
+            return {k: _san(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [_san(x) for x in v]
+        if isinstance(v, np.generic):
+            return v.item()
+        return v
+
+    new_text = yaml.safe_dump(_san(to_plain(opt)), default_flow_style=False, indent=4)
+    if os.path.isfile(fname):
+        with open(fname) as f:
+            old_text = f.read()
+        if old_text == new_text:
+            print("existing options file found (identical)")
+        else:
+            print("existing options file found (different from current one):")
+            diff = difflib.unified_diff(old_text.splitlines(), new_text.splitlines(),
+                                        fromfile="existing", tofile="current", lineterm="")
+            for line in list(diff)[:80]:
+                print(line)
+            if _sys.stdin is not None and _sys.stdin.isatty():
+                override = None
+                while override not in ("y", "n"):
+                    override = input("override? (y/n) ")
+                if override == "n":
+                    print("safe exiting...")
+                    raise SystemExit(0)
+            else:
+                print("(non-interactive: overriding options file)")
+    else:
+        print("(creating new options file...)")
+    with open(fname, "w") as f:
+        f.write(new_text)
+
+
 def scene_opt(opt: Opt, key: str, default=None):
     """Per-scene override lookup: opt.data[scene].key or default.
 

@@ -92,6 +92,89 @@ def w2c_from_c2w(c2w: np.ndarray) -> np.ndarray:
     return w2c
 
 
+def center_crop_with_K(img: np.ndarray, K: np.ndarray,
+                       frac: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Center-crop to ``frac`` of each raw dimension and shift the
+    principal point accordingly (reference `data/base.py:92-117`:
+    crop happens at raw resolution, before the resize; the intrinsics
+    shift is ``(raw - crop)/2`` on each axis)."""
+    rawH, rawW = img.shape[:2]
+    cH, cW = int(rawH * frac), int(rawW * frac)
+    y0, x0 = (rawH - cH) // 2, (rawW - cW) // 2
+    out = img[y0:y0 + cH, x0:x0 + cW]
+    K = K.copy()
+    K[0, 2] -= (rawW - cW) / 2
+    K[1, 2] -= (rawH - cH) / 2
+    return out, K
+
+
+def color_jitter(img: np.ndarray, rng: np.random.Generator,
+                 brightness: float = 0.0, contrast: float = 0.0,
+                 saturation: float = 0.0, hue: float = 0.0) -> np.ndarray:
+    """Photometric augmentation (reference `data/base.py:74-90`,
+    torchvision ColorJitter semantics: each factor drawn uniformly from
+    ``(1-x, 1+x)``, hue from ``(-h, h)``).
+
+    Deviation: the reference's ``hflip``/``rotate`` geometric
+    augmentations are NOT carried — this pipeline's SIFT keypoints and
+    match graph are extracted at preparation time, so geometric
+    augmentation would silently decouple pixels from keypoints. The
+    reference ships them disabled in every config (`options/base.yaml:23`).
+    """
+    out = img.astype(np.float32)
+    if brightness:
+        out = out * rng.uniform(1 - brightness, 1 + brightness)
+    if contrast:
+        mean = out.mean(axis=(0, 1), keepdims=True)
+        out = (out - mean) * rng.uniform(1 - contrast, 1 + contrast) + mean
+    if saturation:
+        gray = (out * np.array([0.299, 0.587, 0.114], np.float32)).sum(-1, keepdims=True)
+        out = gray + (out - gray) * rng.uniform(1 - saturation, 1 + saturation)
+    if hue and cv2 is not None:
+        hsv = cv2.cvtColor(np.clip(out, 0, 1), cv2.COLOR_RGB2HSV)
+        hsv[..., 0] = (hsv[..., 0] + rng.uniform(-hue, hue) * 360.0) % 360.0
+        out = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    return np.clip(out, 0.0, 1.0)
+
+
+def preprocess_frame(path: str, K_raw: np.ndarray, target_hw: Tuple[int, int],
+                     center_crop: Optional[float] = None,
+                     augment: Optional[dict] = None,
+                     rng: Optional[np.random.Generator] = None,
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Load one frame through the full reference preprocessing chain
+    (`data/base.py:92-117`): [color jitter] -> [center crop] -> resize,
+    with the intrinsics scaled from the (cropped) raw frame to
+    ``target_hw``. Returns (image [H,W,3] in [0,1], K [3,3])."""
+    img = load_rgb(path)
+    K = K_raw.copy().astype(np.float32)
+    if augment:
+        img = color_jitter(img, rng or np.random.default_rng(),
+                           brightness=float(augment.get("brightness") or 0.0),
+                           contrast=float(augment.get("contrast") or 0.0),
+                           saturation=float(augment.get("saturation") or 0.0),
+                           hue=float(augment.get("hue") or 0.0))
+    if center_crop:
+        img, K = center_crop_with_K(img, K, float(center_crop))
+    cH, cW = img.shape[:2]
+    H, W = target_hw
+    img = load_resize(img, (H, W))
+    K = scale_intrinsics(K, cW / W, cH / H)
+    return img, K
+
+
+def load_resize(img: np.ndarray, target_hw: Tuple[int, int]) -> np.ndarray:
+    """Resize an already-loaded [H,W,3] float image."""
+    if img.shape[:2] == tuple(target_hw):
+        return img
+    H, W = target_hw
+    if cv2 is not None:
+        return np.clip(cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA), 0.0, 1.0)
+    ys = (np.arange(H) * img.shape[0] / H).astype(int)
+    xs = (np.arange(W) * img.shape[1] / W).astype(int)
+    return img[ys][:, xs]
+
+
 def sorted_images(path: str) -> List[str]:
     exts = (".png", ".jpg", ".jpeg", ".JPG", ".PNG")
     return sorted(os.path.join(path, f) for f in os.listdir(path)

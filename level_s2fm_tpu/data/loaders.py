@@ -26,6 +26,22 @@ import numpy as np
 from . import base
 
 
+def _frame_preproc(opt):
+    """(center_crop, augment, rng) from opt.data — None/None when the
+    default fast path applies (reference ships both off:
+    `options/base.yaml:23-24`). The augment rng is seeded from opt.seed
+    so a resumed run re-draws the same jitter."""
+    dc = opt.data
+    crop = dc.get("center_crop", None) or None
+    aug = dc.get("augment", None) or None
+    if aug is not None and not any(aug.get(k, None)
+                                   for k in ("brightness", "contrast",
+                                             "saturation", "hue")):
+        aug = None
+    rng = np.random.default_rng(int(opt.get("seed") or 0)) if aug else None
+    return crop, aug, rng
+
+
 def _raw_size(dataset: str, opt=None) -> Tuple[int, int]:
     """Native capture resolution per dataset. ``opt.data.raw_size``
     overrides (needed for self-rendered DTU-format scenes whose images
@@ -52,13 +68,19 @@ def load_dtu(opt) -> Dict:
     rawH, rawW = _raw_size("DTU", opt)
     fx, fy = rawW / W, rawH / H
     intrs, poses, images = [], [], []
+    crop, aug, rng = _frame_preproc(opt)
     for i in range(n):
         P = (cams[f"world_mat_{i}"] @ cams[f"scale_mat_{i}"]).astype(np.float32)[:3, :4]
         intr, c2w = base.decompose_projection(P)
-        K = base.scale_intrinsics(intr[:3, :3], fx, fy)
-        intrs.append(K)
         poses.append(base.w2c_from_c2w(c2w))
-        images.append(base.load_rgb(fnames[i], (H, W)))
+        if crop or aug:
+            img, K = base.preprocess_frame(fnames[i], intr[:3, :3], (H, W),
+                                           center_crop=crop, augment=aug, rng=rng)
+        else:
+            img = base.load_rgb(fnames[i], (H, W))
+            K = base.scale_intrinsics(intr[:3, :3], fx, fy)
+        intrs.append(K)
+        images.append(img)
     return {"images": np.stack(images), "intrs": np.stack(intrs),
             "poses_gt": np.stack(poses), "factor_x": fx, "factor_y": fy}
 
@@ -73,17 +95,22 @@ def _load_txt_scene(opt, raw_hw, bg_white=False) -> Dict:
     fx, fy = rawW / W, rawH / H
     K_raw = np.loadtxt(os.path.join(path, "intrinsics.txt")).astype(np.float32)[:3, :3]
     K = base.scale_intrinsics(K_raw, fx, fy)
+    crop, aug, rng = _frame_preproc(opt)
     intrs, poses, images = [], [], []
     for f in fnames:
         stem = os.path.splitext(os.path.basename(f))[0]
         c2w = np.loadtxt(os.path.join(path, "pose", stem + ".txt")).astype(np.float32)
         poses.append(base.w2c_from_c2w(c2w))
-        img = base.load_rgb(f, (H, W))
+        if crop or aug:
+            img, Ki = base.preprocess_frame(f, K_raw, (H, W),
+                                            center_crop=crop, augment=aug, rng=rng)
+        else:
+            img, Ki = base.load_rgb(f, (H, W)), K
         if bg_white:
             dark = np.all(img <= 0.1, axis=-1)
             img[dark] = 1.0
         images.append(img)
-        intrs.append(K)
+        intrs.append(Ki)
     return {"images": np.stack(images), "intrs": np.stack(intrs),
             "poses_gt": np.stack(poses), "factor_x": fx, "factor_y": fy}
 
@@ -109,13 +136,19 @@ def load_scannet(opt) -> Dict:
     K_raw = np.loadtxt(os.path.join(path, "intrinsic",
                                     "intrinsic_color.txt")).astype(np.float32)[:3, :3]
     K = base.scale_intrinsics(K_raw, fx, fy)
+    crop, aug, rng = _frame_preproc(opt)
     intrs, poses, images = [], [], []
     for f in fnames:
         stem = os.path.splitext(os.path.basename(f))[0]
         c2w = np.loadtxt(os.path.join(path, "pose", stem + ".txt")).astype(np.float32)
         poses.append(base.w2c_from_c2w(c2w))
-        images.append(base.load_rgb(f, (H, W)))
-        intrs.append(K)
+        if crop or aug:
+            img, Ki = base.preprocess_frame(f, K_raw, (H, W),
+                                            center_crop=crop, augment=aug, rng=rng)
+        else:
+            img, Ki = base.load_rgb(f, (H, W)), K
+        images.append(img)
+        intrs.append(Ki)
     return {"images": np.stack(images), "intrs": np.stack(intrs),
             "poses_gt": np.stack(poses), "factor_x": fx, "factor_y": fy}
 
@@ -130,6 +163,13 @@ def load_prepared_scene(opt) -> Dict:
     dataset = opt.data.dataset
     if dataset not in LOADERS:
         raise ValueError(f"unknown dataset {dataset!r}; options: {list(LOADERS)}")
+    if opt.data.get("center_crop", None):
+        raise ValueError(
+            "data.center_crop is incompatible with the SfM pipeline: the "
+            "preparation keypoints were extracted on uncropped frames. "
+            "Crop support exists for the render-only data surface "
+            "(reference parity, data/base.py:92-117); re-run "
+            "preparation/main.py on cropped images instead.")
     scene_data = LOADERS[dataset](opt)
 
     prep_dir = opt.data.get("prep_dir") or os.path.join(

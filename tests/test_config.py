@@ -50,3 +50,26 @@ def test_value_parsing_types():
                            "--data.bound_max=[2,2,2]"])
     assert abs(opt.optim.init.lr_sdf - 5e-4) < 1e-12
     assert list(opt.data.bound_max) == [2, 2, 2]
+
+
+def test_save_options_file_roundtrip(tmp_path, capsys):
+    """Reference `utils/options.py:114-136`: the resolved options are
+    persisted to {output_path}/options.yaml; an identical rerun is
+    recognized, a changed rerun prints a diff (non-interactive runs
+    override instead of prompting)."""
+    opt = C.build_options(["--yaml=configs/synthetic.yaml",
+                           f"--output_path={tmp_path}"])
+    C.save_options_file(opt)
+    assert (tmp_path / "options.yaml").is_file()
+    capsys.readouterr()
+    C.save_options_file(opt)
+    assert "identical" in capsys.readouterr().out
+    opt2 = opt.deepcopy()
+    opt2.max_views = 99
+    C.save_options_file(opt2)
+    out = capsys.readouterr().out
+    assert "different" in out and "max_views" in out
+    # the file now records the new options
+    import yaml as _yaml
+    saved = _yaml.safe_load((tmp_path / "options.yaml").read_text())
+    assert saved["max_views"] == 99

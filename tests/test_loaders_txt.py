@@ -59,3 +59,64 @@ def test_unknown_dataset_raises(txt_scene):
     root, _ = txt_scene
     with pytest.raises(ValueError):
         loaders.load_prepared_scene(_opt(root, "nope"))
+
+
+# ------------------------------------------------- crop/augment preprocessing
+# Reference `data/base.py:74-117`: color jitter -> center crop -> resize,
+# intrinsics shifted by the crop and rescaled by the resize. Shipped
+# off-by-default exactly as the reference does (`options/base.yaml:23-24`).
+
+def test_center_crop_loader_intrinsics(txt_scene, monkeypatch):
+    from level_s2fm_tpu.data import base as dbase
+    root, scene = txt_scene
+    monkeypatch.setattr(loaders, "_raw_size", lambda d, opt=None: (48, 48))
+    opt = _opt(root, "ETH3D")
+    opt.data.image_size = [24, 24]
+    opt.data.center_crop = 0.5
+    out = loaders.load_eth3d(opt)
+    assert out["images"].shape == (3, 24, 24, 3)
+    # crop keeps the central 24x24 of the 48x48 raw frame, then resizes
+    # 24->24 (identity): fx unchanged, principal point shifted by 12
+    K_ref = scene.intrs[0].copy()
+    K_ref[0, 2] -= 12.0
+    K_ref[1, 2] -= 12.0
+    np.testing.assert_allclose(out["intrs"][0], K_ref, atol=1e-4)
+    # the cropped image is the center of the raw one
+    np.testing.assert_allclose(out["images"][0], scene.images[0][12:36, 12:36],
+                               atol=2e-2)
+
+
+def test_color_jitter_ranges():
+    from level_s2fm_tpu.data import base as dbase
+    rng = np.random.default_rng(0)
+    img = np.linspace(0, 1, 48 * 48 * 3, dtype=np.float32).reshape(48, 48, 3)
+    out = dbase.color_jitter(img, rng, brightness=0.4, contrast=0.4,
+                             saturation=0.4, hue=0.1)
+    assert out.shape == img.shape
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert not np.allclose(out, img)  # jitter actually applied
+    # zero-strength jitter is the identity
+    out0 = dbase.color_jitter(img, rng)
+    np.testing.assert_allclose(out0, img)
+
+
+def test_augment_loader_is_seeded(txt_scene, monkeypatch):
+    root, scene = txt_scene
+    monkeypatch.setattr(loaders, "_raw_size", lambda d, opt=None: (48, 48))
+    opt = _opt(root, "ETH3D")
+    opt.data.augment = {"brightness": 0.3, "contrast": 0.2}
+    opt.seed = 7
+    a = loaders.load_eth3d(opt)
+    b = loaders.load_eth3d(opt)
+    np.testing.assert_allclose(a["images"], b["images"])  # same seed, same draw
+    assert not np.allclose(a["images"], scene.images[:3])
+    # intrinsics untouched by photometric-only augmentation
+    np.testing.assert_allclose(a["intrs"][0], scene.intrs[0], atol=1e-4)
+
+
+def test_center_crop_rejected_with_prepared_keypoints(txt_scene):
+    root, _ = txt_scene
+    opt = _opt(root, "ETH3D")
+    opt.data.center_crop = 0.5
+    with pytest.raises(ValueError, match="center_crop"):
+        loaders.load_prepared_scene(opt)

@@ -112,6 +112,8 @@ def main(argv=None):
         mesh_ctx = pmesh.use_mesh(pmesh.make_mesh(n))
 
     os.makedirs(opt.output_path, exist_ok=True)
+    from level_s2fm_tpu.config import save_options_file
+    save_options_file(opt)
     try:
         return _run(opt, argv, mesh_ctx)
     except Exception as e:
