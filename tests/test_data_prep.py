@@ -106,3 +106,19 @@ Registering image #5 (4)
 Registering image #9 (5)
 """
     assert parse_mapper_log(log) == [7, 3, 5, 1, 9]
+
+
+def test_synthetic_texture_is_sift_friendly():
+    """Regression guard: the procedural texture must keep its contrast in
+    GRAYSCALE (SIFT's detection plane). Per-channel-independent noise
+    cancels ~1/sqrt(3) in gray and starves the detector (measured: 13 vs
+    ~400 keypoints at 320px) — which silently breaks the whole
+    preparation pipeline on freshly generated scenes."""
+    cv2 = pytest.importorskip("cv2")
+    from level_s2fm_tpu.data import synthetic
+    scene = synthetic.make_scene(n_views=1, H=320, W=320, n_points=8,
+                                 seed=3, detail=0.5)
+    img = (np.clip(scene.images[0], 0, 1) * 255).astype(np.uint8)
+    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    kp = cv2.SIFT_create().detect(gray, None)
+    assert len(kp) >= 150, f"texture regressed: only {len(kp)} SIFT keypoints"
