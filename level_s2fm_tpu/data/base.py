@@ -38,6 +38,14 @@ def load_rgb(path: str, target_hw: Optional[Tuple[int, int]] = None) -> np.ndarr
     return np.clip(img, 0.0, 1.0)
 
 
+def load_depth(path: str) -> np.ndarray:
+    """Load a ScanNet-style uint16 depth PNG as float32 meters
+    (ref `data/scannet.py:76`: ``cv2.imread(..., -1) / 1000``). Zero
+    means no measurement; kept as 0 (mask downstream)."""
+    raw = imageio.imread(path)
+    return np.asarray(raw, np.float32) / 1000.0
+
+
 def decompose_projection(P: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """P [3,4] -> (K [4,4 upper-left 3x3 normalized], c2w pose [4,4]).
 

@@ -85,7 +85,49 @@ def load_dtu(opt) -> Dict:
             "poses_gt": np.stack(poses), "factor_x": fx, "factor_y": fy}
 
 
-def _load_txt_scene(opt, raw_hw, bg_white=False) -> Dict:
+def _read_cam_init(path: str) -> np.ndarray:
+    """Parse a COLMAP-exported ``.cam`` file into a c2w [3,4] matrix
+    (ref `data/ETH3D.py:61-67`): the first line is 12 floats — t (3)
+    then row-major R (9) — forming a w2c [R|t]; c2w is its rigid
+    inverse."""
+    with open(path, "r") as f:
+        vals = [float(a.strip("\n")) for a in f.readlines()[0].split(" ")]
+    w2c = np.concatenate([np.asarray(vals[3:], np.float32).reshape(3, 3),
+                          np.asarray(vals[:3], np.float32).reshape(3, 1)],
+                         axis=-1)
+    return base.w2c_from_c2w(w2c)  # rigid inverse works either direction
+
+
+def _recenter_rescale(c2w_list, rad: float):
+    """Recenter camera centers to their mean and rescale so the farthest
+    sits at ``rad/1.1`` (ref `data/ETH3D.py:80-91`, `data/scannet.py:87-98`
+    — required for real scenes whose GT poses aren't sphere-normalized).
+    Mutates translations in place; returns (center, scale)."""
+    center = np.mean([c[:3, 3] for c in c2w_list], axis=0)
+    for c in c2w_list:
+        c[:3, 3] -= center
+    max_norm = max(float(np.linalg.norm(c[:3, 3])) for c in c2w_list)
+    scale = rad / max_norm / 1.1
+    for c in c2w_list:
+        c[:3, 3] *= scale
+    return center, scale
+
+
+def _load_txt_scene(opt, raw_hw, bg_white=False, pose_file_is_w2c=False,
+                    cam_init_dir=None) -> Dict:
+    """txt-layout scene family (ETH3D/BlendedMVS layout).
+
+    ``pose_file_is_w2c``: ETH3D's ``pose/*.txt`` store w2c and the
+    reference inverts them to c2w (`data/ETH3D.py:50`); BlendedMVS's
+    store c2w directly (`data/BlendedMVS.py:49`).
+    ``cam_init_dir``: when set, poses come from COLMAP ``.cam`` files
+    instead of GT, and frames without a ``.cam`` are dropped entirely
+    (ref `data/ETH3D.py:55-69`; deviation: the reference appends the
+    shared intrinsics *before* skipping, leaving `intrinsics_all`
+    misaligned — harmless there because K is shared, but we skip the
+    whole frame cleanly).
+    ``opt.data.center``: recenter + rescale camera centers to a sphere
+    of radius ``opt.rad`` (ref `data/ETH3D.py:80-91`)."""
     root = opt.data.get("root")
     path = os.path.join(root, opt.data.scene)
     img_dir = os.path.join(path, "images")
@@ -96,11 +138,18 @@ def _load_txt_scene(opt, raw_hw, bg_white=False) -> Dict:
     K_raw = np.loadtxt(os.path.join(path, "intrinsics.txt")).astype(np.float32)[:3, :3]
     K = base.scale_intrinsics(K_raw, fx, fy)
     crop, aug, rng = _frame_preproc(opt)
-    intrs, poses, images = [], [], []
+    intrs, c2ws, images = [], [], []
     for f in fnames:
         stem = os.path.splitext(os.path.basename(f))[0]
-        c2w = np.loadtxt(os.path.join(path, "pose", stem + ".txt")).astype(np.float32)
-        poses.append(base.w2c_from_c2w(c2w))
+        if cam_init_dir is not None:
+            cam_path = os.path.join(cam_init_dir, stem + ".cam")
+            if not os.path.exists(cam_path):
+                continue
+            c2w = _read_cam_init(cam_path)
+        else:
+            mat = np.loadtxt(os.path.join(path, "pose", stem + ".txt")).astype(np.float32)
+            c2w = base.w2c_from_c2w(mat) if pose_file_is_w2c else mat[:3, :4].copy()
+        c2ws.append(np.asarray(c2w, np.float32)[:3, :4].copy())
         if crop or aug:
             img, Ki = base.preprocess_frame(f, K_raw, (H, W),
                                             center_crop=crop, augment=aug, rng=rng)
@@ -111,12 +160,26 @@ def _load_txt_scene(opt, raw_hw, bg_white=False) -> Dict:
             img[dark] = 1.0
         images.append(img)
         intrs.append(Ki)
+    if opt.data.get("center", False):
+        rad = float(opt.get("rad") or opt.data.get("rad") or 3.0)
+        _recenter_rescale(c2ws, rad)
+    poses = [base.w2c_from_c2w(c) for c in c2ws]
     return {"images": np.stack(images), "intrs": np.stack(intrs),
             "poses_gt": np.stack(poses), "factor_x": fx, "factor_y": fy}
 
 
 def load_eth3d(opt) -> Dict:
-    return _load_txt_scene(opt, _raw_size("ETH3D", opt))
+    """ETH3D scene (ref `data/ETH3D.py:17-101`): w2c pose txts, optional
+    COLMAP-initialized poses (``data.init``; dir overridable via
+    ``data.cam_dir``, default matches ref :58 `rec_3rd/rec_model/cam`),
+    optional recenter/rescale-to-sphere (``data.center``)."""
+    cam_dir = None
+    if opt.data.get("init", False):
+        root = os.path.join(opt.data.get("root"), opt.data.scene)
+        cam_dir = opt.data.get("cam_dir") or os.path.join(
+            root, "rec_3rd", "rec_model", "cam")
+    return _load_txt_scene(opt, _raw_size("ETH3D", opt),
+                           pose_file_is_w2c=True, cam_init_dir=cam_dir)
 
 
 def load_blendedmvs(opt) -> Dict:
@@ -124,6 +187,17 @@ def load_blendedmvs(opt) -> Dict:
 
 
 def load_scannet(opt) -> Dict:
+    """ScanNet scene (ref `data/scannet.py:17-118`): c2w pose txts,
+    ``freq_frame`` subsampling, GT depth from ``depth/*.png`` (uint16 mm
+    -> meters, ref :76 — an eval asset, returned as ``depth_gt`` when the
+    directory exists), optional ``.cam`` init poses (ref :56-68) and
+    recenter/rescale-to-sphere (ref :87-98). Deviation noted: the
+    reference leaves GT depth unscaled after the recenter rescale (the
+    depth-scaling block is commented out, ref :110-117) — we replicate
+    that, so ``depth_gt`` stays in raw meters; eval must align by sim3
+    (Procrustes) rather than raw scale when ``center`` is on. The
+    omnidata priors (ref :78-81) are dead in the reference release and
+    not carried."""
     root = opt.data.get("root")
     path = os.path.join(root, opt.data.scene)
     img_dir = os.path.join(path, "color")
@@ -137,11 +211,22 @@ def load_scannet(opt) -> Dict:
                                     "intrinsic_color.txt")).astype(np.float32)[:3, :3]
     K = base.scale_intrinsics(K_raw, fx, fy)
     crop, aug, rng = _frame_preproc(opt)
-    intrs, poses, images = [], [], []
+    cam_init_dir = (os.path.join(path, "cam")
+                    if opt.data.get("init", False) else None)
+    depth_dir = os.path.join(path, "depth")
+    has_depth = os.path.isdir(depth_dir)
+    intrs, c2ws, images, depths = [], [], [], []
     for f in fnames:
         stem = os.path.splitext(os.path.basename(f))[0]
-        c2w = np.loadtxt(os.path.join(path, "pose", stem + ".txt")).astype(np.float32)
-        poses.append(base.w2c_from_c2w(c2w))
+        if cam_init_dir is not None:
+            cam_path = os.path.join(cam_init_dir, stem + ".cam")
+            if not os.path.exists(cam_path):
+                continue
+            c2w = _read_cam_init(cam_path)
+        else:
+            c2w = np.loadtxt(os.path.join(path, "pose",
+                                          stem + ".txt")).astype(np.float32)[:3, :4]
+        c2ws.append(np.asarray(c2w, np.float32).copy())
         if crop or aug:
             img, Ki = base.preprocess_frame(f, K_raw, (H, W),
                                             center_crop=crop, augment=aug, rng=rng)
@@ -149,8 +234,17 @@ def load_scannet(opt) -> Dict:
             img, Ki = base.load_rgb(f, (H, W)), K
         images.append(img)
         intrs.append(Ki)
-    return {"images": np.stack(images), "intrs": np.stack(intrs),
-            "poses_gt": np.stack(poses), "factor_x": fx, "factor_y": fy}
+        if has_depth:
+            depths.append(base.load_depth(os.path.join(depth_dir, stem + ".png")))
+    if opt.data.get("center", False):
+        rad = float(opt.get("rad") or opt.data.get("rad") or 3.0)
+        _recenter_rescale(c2ws, rad)
+    poses = [base.w2c_from_c2w(c) for c in c2ws]
+    out = {"images": np.stack(images), "intrs": np.stack(intrs),
+           "poses_gt": np.stack(poses), "factor_x": fx, "factor_y": fy}
+    if has_depth:
+        out["depth_gt"] = np.stack(depths)
+    return out
 
 
 LOADERS = {"DTU": load_dtu, "ETH3D": load_eth3d,
@@ -191,6 +285,9 @@ def load_prepared_scene(opt) -> Dict:
     else:
         pose_graph = [i for i in range(len(scene_data["images"])) if i % 3 == 0]
 
-    return {"images": scene_data["images"], "intrs": scene_data["intrs"],
-            "poses_gt": scene_data["poses_gt"], "kypts": kypts,
-            "matches": matches, "masks": masks, "pose_graph": pose_graph}
+    var = {"images": scene_data["images"], "intrs": scene_data["intrs"],
+           "poses_gt": scene_data["poses_gt"], "kypts": kypts,
+           "matches": matches, "masks": masks, "pose_graph": pose_graph}
+    if "depth_gt" in scene_data:  # eval asset (ScanNet)
+        var["depth_gt"] = scene_data["depth_gt"]
+    return var

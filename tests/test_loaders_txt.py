@@ -10,39 +10,89 @@ from level_s2fm_tpu.data import loaders, synthetic
 
 @pytest.fixture(scope="module")
 def txt_scene(tmp_path_factory):
+    """Two scene dirs: `courty` stores c2w pose txts (BlendedMVS
+    convention, ref `data/BlendedMVS.py:49`); `courty_w2c` stores w2c
+    pose txts (ETH3D convention — the reference INVERTS the file,
+    `data/ETH3D.py:50`) plus a `.cam` colmap-init dir covering only the
+    first two frames (ref `data/ETH3D.py:55-69`)."""
     import imageio.v2 as imageio
     root = tmp_path_factory.mktemp("eth_root")
-    scene_dir = root / "courty"
-    (scene_dir / "images").mkdir(parents=True)
-    (scene_dir / "pose").mkdir()
     scene = synthetic.make_scene(n_views=3, H=48, W=48, n_points=64, seed=2)
-    np.savetxt(scene_dir / "intrinsics.txt",
-               np.block([[scene.intrs[0], np.zeros((3, 1))],
-                         [np.zeros((1, 3)), np.ones((1, 1))]]))
-    for i in range(3):
-        imageio.imwrite(scene_dir / "images" / f"{i:04d}.png",
-                        (scene.images[i] * 255).astype(np.uint8))
-        c2w = np.eye(4, dtype=np.float32)
-        R = scene.poses_gt[i][:, :3]
-        t = scene.poses_gt[i][:, 3]
-        c2w[:3, :3] = R.T
-        c2w[:3, 3] = -R.T @ t
-        np.savetxt(scene_dir / "pose" / f"{i:04d}.txt", c2w)
+    K4 = np.block([[scene.intrs[0], np.zeros((3, 1))],
+                   [np.zeros((1, 3)), np.ones((1, 1))]])
+    for name, file_is_w2c in (("courty", False), ("courty_w2c", True)):
+        scene_dir = root / name
+        (scene_dir / "images").mkdir(parents=True)
+        (scene_dir / "pose").mkdir()
+        np.savetxt(scene_dir / "intrinsics.txt", K4)
+        for i in range(3):
+            imageio.imwrite(scene_dir / "images" / f"{i:04d}.png",
+                            (scene.images[i] * 255).astype(np.uint8))
+            w2c = np.eye(4, dtype=np.float32)
+            w2c[:3, :4] = scene.poses_gt[i]
+            c2w = np.eye(4, dtype=np.float32)
+            R, t = scene.poses_gt[i][:, :3], scene.poses_gt[i][:, 3]
+            c2w[:3, :3] = R.T
+            c2w[:3, 3] = -R.T @ t
+            np.savetxt(scene_dir / "pose" / f"{i:04d}.txt",
+                       w2c if file_is_w2c else c2w)
+    # .cam colmap-init files for frames 0,1 only: "t(3) R(9 row-major)" w2c
+    cam_dir = root / "courty_w2c" / "cams"
+    cam_dir.mkdir()
+    for i in range(2):
+        R, t = scene.poses_gt[i][:, :3], scene.poses_gt[i][:, 3]
+        vals = list(t.ravel()) + list(R.ravel())
+        (cam_dir / f"{i:04d}.cam").write_text(
+            " ".join(f"{v:.9f}" for v in vals) + "\n0 0 0\n")
     return root, scene
 
 
-def _opt(root, dataset):
-    return Opt({"data": {"root": str(root), "scene": "courty",
+def _opt(root, dataset, scene_name="courty"):
+    return Opt({"data": {"root": str(root), "scene": scene_name,
                          "dataset": dataset, "image_size": [48, 48]}})
 
 
 def test_eth3d_loader(txt_scene, monkeypatch):
     root, scene = txt_scene
     monkeypatch.setattr(loaders, "_raw_size", lambda d, opt=None: (48, 48))
-    out = loaders.load_eth3d(_opt(root, "ETH3D"))
+    out = loaders.load_eth3d(_opt(root, "ETH3D", "courty_w2c"))
     assert out["images"].shape == (3, 48, 48, 3)
     np.testing.assert_allclose(out["intrs"][0], scene.intrs[0], atol=1e-4)
     np.testing.assert_allclose(out["poses_gt"][1], scene.poses_gt[1], atol=1e-4)
+
+
+def test_eth3d_cam_init_poses(txt_scene, monkeypatch):
+    """data.init loads poses from .cam files and drops frames without one
+    (ref `data/ETH3D.py:55-69`)."""
+    root, scene = txt_scene
+    monkeypatch.setattr(loaders, "_raw_size", lambda d, opt=None: (48, 48))
+    opt = _opt(root, "ETH3D", "courty_w2c")
+    opt.data.init = True
+    opt.data.cam_dir = str(root / "courty_w2c" / "cams")
+    out = loaders.load_eth3d(opt)
+    assert out["images"].shape[0] == 2          # frame 2 has no .cam
+    for i in range(2):
+        np.testing.assert_allclose(out["poses_gt"][i], scene.poses_gt[i],
+                                   atol=1e-5)
+
+
+def test_eth3d_recenter_rescale(txt_scene, monkeypatch):
+    """data.center recenters camera centers to their mean and rescales
+    the farthest to rad/1.1 (ref `data/ETH3D.py:80-91`)."""
+    root, scene = txt_scene
+    monkeypatch.setattr(loaders, "_raw_size", lambda d, opt=None: (48, 48))
+    opt = _opt(root, "ETH3D", "courty_w2c")
+    opt.data.center = True
+    opt.rad = 3.0
+    out = loaders.load_eth3d(opt)
+    # camera centers from returned w2c: c = -R^T t
+    centers = np.stack([-p[:3, :3].T @ p[:3, 3] for p in out["poses_gt"]])
+    np.testing.assert_allclose(centers.mean(axis=0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(centers, axis=-1).max(),
+                               3.0 / 1.1, rtol=1e-5)
+    # rotations untouched by the similarity rescale
+    np.testing.assert_allclose(out["poses_gt"][1][:3, :3],
+                               scene.poses_gt[1][:3, :3], atol=1e-4)
 
 
 def test_blendedmvs_loader_bg_fixup(txt_scene, monkeypatch):
