@@ -149,19 +149,22 @@ class LevelSfM:
         ``if_nbv=False`` is deliberate parity: the reference also scores
         candidates with ``nbv_if = False`` (`LevelS2fM.py:115,268`), so a
         candidate with <100 raw pairs short-circuits to (False, 0, n)
-        exactly as upstream. The O(candidates x full PnP) cost likewise
-        matches the reference's scoring loop."""
+        exactly as upstream. Deviation (perf): candidates are scored by
+        `registration.score_candidates` — identical scores, but one
+        batched SDF dispatch for all candidates instead of the
+        reference's per-candidate full-PnP loop."""
         if self.opt.get("nbv_mode", "colmap") == "colmap":
             return pose_graph_left[0]
-        nums, ratios, views = [], [], []
-        for cand in pose_graph_left:
-            cam = self._make_camera(cand)
-            reg = Registration(self.opt, self.cfgs, self.camera_set)
-            ok, ratio, num = reg.pnp(self.params, cam, self.point_set,
-                                     if_nbv=False, dry_run=True)
-            nums.append(num)
-            ratios.append(ratio)
-            views.append(len(reg.src_cam_id))
+        # batched scoring: one covisibility sweep + ONE bucketed SDF
+        # dispatch across all candidates (vs the reference's per-candidate
+        # full-PnP loop) — keeps NBV O(1) device round-trips per view
+        from .registration import score_candidates
+        cands = [self._make_camera(c) for c in pose_graph_left]
+        scored = score_candidates(self.opt, self.cfgs, self.params,
+                                  self.camera_set, cands, self.point_set)
+        nums = [s[2] for s in scored]
+        ratios = [s[1] for s in scored]
+        views = [s[3] for s in scored]
         nums = np.asarray(nums, np.float64)
         score = (np.asarray(ratios) * np.clip(np.asarray(views), 0, 10)
                  + nums / max(nums.max(), 1))

@@ -22,6 +22,64 @@ from . import entities, hostgeom
 from .phases import GeoInitPhase, PhaseCfgs
 
 
+def score_candidates(opt, cfgs: PhaseCfgs, params,
+                     cameraset: entities.CameraSet, cams,
+                     pointset: entities.PointSet):
+    """Batched NBV PnP scoring (ref `LevelS2fM.py:243-282`).
+
+    Scores every candidate camera with ONE covisibility sweep + ONE
+    bucketed SDF dispatch (`sdf_mod.infer_sdf_host` on the concatenated
+    candidate points) + per-candidate host RANSAC, instead of the
+    reference's O(candidates x full PnP) loop that pays a device
+    dispatch per candidate. Score semantics are identical to calling
+    ``Registration.pnp(if_nbv=False, dry_run=True)`` per candidate
+    (equivalence pinned by tests/test_nbv_batched.py).
+
+    Returns a list of (ok, inlier_ratio, inlier_count, n_src_views).
+    """
+    gate = 5000.0 if opt.Ablate_config.get("ba_trad", False) else 0.05
+    entries = []            # per candidate: None | (p3d, p2d, n_views)
+    eval_slices = []        # (candidate index, slice into the concat eval)
+    p3d_eval = []
+    off = 0
+    for ci, cam in enumerate(cams):
+        reg = Registration(opt, cfgs, cameraset)
+        pairs = reg.get_pairs(cam, pointset)
+        if pairs is None:
+            entries.append(None)
+            continue
+        p3d, p2d, _, _ = pairs
+        entries.append((p3d, p2d, len(reg.src_cam_id)))
+        if len(p3d) >= 100:  # <100 raw pairs short-circuits pre-SDF (pnp)
+            eval_slices.append((ci, slice(off, off + len(p3d))))
+            p3d_eval.append(p3d)
+            off += len(p3d)
+    sdfs_cat = (sdf_mod.infer_sdf_host(params["sdf"], cfgs.sdf,
+                                       np.concatenate(p3d_eval))
+                if p3d_eval else None)
+    sdf_by_cand = {ci: sdfs_cat[sl] for ci, sl in eval_slices}
+
+    results = []
+    for ci, entry in enumerate(entries):
+        if entry is None:
+            results.append((False, 0.0, 0, 0))
+            continue
+        p3d, p2d, n_views = entry
+        if len(p3d) < 100:
+            results.append((False, 0.0, len(p3d), n_views))
+            continue
+        mask = sdf_by_cand[ci] < gate
+        p3d_m, p2d_m = p3d[mask], p2d[mask]
+        res = hostgeom.pnp_ransac(p2d_m, p3d_m, cams[ci].intr, max_error_px=3.0)
+        if not res.success:
+            results.append((False, 0.0, 0, n_views))
+            continue
+        n_in = int(np.sum(res.inliers)) if res.inliers.dtype == bool \
+            else len(res.inliers)
+        results.append((True, n_in / max(len(p3d_m), 1), n_in, n_views))
+    return results
+
+
 class Registration:
     def __init__(self, opt, cfgs: PhaseCfgs, cameraset: entities.CameraSet):
         self.opt = opt
