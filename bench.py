@@ -8,6 +8,9 @@ evaluate all 128 samples, the reference's behavior),
 --ba (neural-BA step throughput instead of the render step),
 --paired (gather dense-level corner pairs as 2-row slices; A/B candidate),
 --microgather (hash-encode fwd+bwd microbench, default vs --paired path),
+--verify-pallas (standalone Pallas-vs-jnp-oracle allclose on the real
+backend; the default bench run also performs this check and reports
+"pallas_verified" in its JSON line — exit code 3 on mismatch),
 --cpu (force CPU backend; for local debugging only).
 
 Runs the flagship hot path — VolSDF render of the hash-grid SDF + radiance
@@ -135,6 +138,13 @@ def main():
         bench_microgather(sdf_cfg, params, QUICK)
         return
 
+    if "--verify-pallas" in sys.argv:
+        ok, detail = verify_pallas(verbose=True)
+        print(json.dumps({"metric": "pallas_composite_verify",
+                          "value": 1.0 if ok else 0.0, "unit": "bool",
+                          "vs_baseline": None, **detail}))
+        sys.exit(0 if ok else 3)
+
     if "--ba" in sys.argv:
         bench_ba(opt, sdf_cfg, rad_cfg, ren_cfg, params, QUICK)
         return
@@ -217,13 +227,98 @@ def main():
             record = {}
     baseline = record.get(cfg_key)
 
+    # on-chip guard for the Pallas composite kernel (VERDICT r2 item 6):
+    # the test suite can only exercise the interpreter/jnp oracle on CPU,
+    # so the bench certifies the real Mosaic kernel against the oracle on
+    # every driver run. Skipped on --cpu (no Mosaic lowering there).
+    extra = {}
+    if not CPU:
+        try:
+            ok, detail = verify_pallas(verbose=False)
+            extra = {"pallas_verified": bool(ok),
+                     "pallas_max_err": detail["max_err"]}
+        except Exception as e:  # a broken kernel must be loud, not fatal
+            extra = {"pallas_verified": False, "pallas_error": str(e)}
+
     print(json.dumps({
         "metric": "render_train_step_rays_per_s",
         "value": round(rays_per_s, 1),
         "unit": "rays/s" + (" (cpu)" if CPU else "") + (occ_tag and " (occ-compacted default path)"),
         "vs_baseline": round(rays_per_s / baseline, 3) if baseline else None,
         "baseline_key": cfg_key,
+        **extra,
     }))
+
+
+def verify_pallas(verbose: bool = False, atol: float = 2e-4):
+    """Pallas Mosaic kernel vs jnp oracle, ON the real backend: forward
+    outputs and the full VJP of `laplace_composite` must agree at the
+    production shapes (K=32 compacted / K=128 full). Returns
+    (ok, {"max_err": float, ...}).
+
+    Why it exists: tests run the kernel in interpreter mode
+    (`rendering/pallas_composite.py` INTERPRET), so a Mosaic toolchain
+    regression would pass the suite while corrupting on-chip training —
+    this runs in every driver bench so BENCH_r*.json certifies kernel
+    correctness alongside speed."""
+    import jax
+    import jax.numpy as jnp
+    from level_s2fm_tpu.rendering import pallas_composite as pc
+
+    if jax.default_backend() == "cpu":
+        # no Mosaic on CPU: fall back to the interpreter so the code path
+        # stays drivable locally (same oracle the test suite pins)
+        pc.INTERPRET = True
+
+    rng = np.random.default_rng(7)
+    worst = 0.0
+    per_case = {}
+    for K in (32, 128):
+        R = 512
+        sdf = jnp.asarray(rng.normal(size=(R, K)).astype(np.float32) * 0.2)
+        valid = jnp.asarray((rng.uniform(size=(R, K)) > 0.2)
+                            .astype(np.float32))
+        delta = jnp.asarray(rng.uniform(0.005, 0.05, size=(R, K))
+                            .astype(np.float32))
+        rgb = jnp.asarray(rng.uniform(size=(3, R, K)).astype(np.float32))
+        depth = jnp.asarray(rng.uniform(0.5, 3.0, size=(R, K))
+                            .astype(np.float32))
+        normal = jnp.asarray(rng.normal(size=(3, R, K)).astype(np.float32))
+        alpha = jnp.asarray(20.0)
+        beta = jnp.asarray(0.05)
+        args = (sdf, valid, delta, rgb, depth, normal, alpha, beta)
+
+        def scalar_loss(use_pallas, *a):
+            outs = pc.laplace_composite(*a, use_pallas)
+            # weighted sum touches every output channel
+            ws = [1.0, 0.7, 0.3, 1.3]
+            return sum(w * jnp.sum(jnp.sin(o * 0.7)) for w, o in zip(ws, outs))
+
+        f_pal = jax.jit(lambda *a: pc.laplace_composite(*a, True))
+        f_jnp = jax.jit(lambda *a: pc.laplace_composite(*a, False))
+        out_p = jax.block_until_ready(f_pal(*args))
+        out_j = jax.block_until_ready(f_jnp(*args))
+        fwd_err = max(float(jnp.max(jnp.abs(p - j)))
+                      for p, j in zip(out_p, out_j))
+
+        g_pal = jax.jit(jax.grad(lambda *a: scalar_loss(True, *a),
+                                 argnums=tuple(range(8))))(*args)
+        g_jnp = jax.jit(jax.grad(lambda *a: scalar_loss(False, *a),
+                                 argnums=tuple(range(8))))(*args)
+        # normalize the scalar (alpha, beta) grads by magnitude — they are
+        # O(R*K) sums, so compare relatively
+        bwd_errs = []
+        for i, (p, j) in enumerate(zip(g_pal, g_jnp)):
+            scale = max(float(jnp.max(jnp.abs(j))), 1.0)
+            bwd_errs.append(float(jnp.max(jnp.abs(p - j))) / scale)
+        bwd_err = max(bwd_errs)
+        per_case[f"K{K}"] = {"fwd": round(fwd_err, 8), "bwd": round(bwd_err, 8)}
+        worst = max(worst, fwd_err, bwd_err)
+        if verbose:
+            print(f"# verify-pallas K={K}: fwd_max_err={fwd_err:.3e} "
+                  f"bwd_max_rel_err={bwd_err:.3e}", file=sys.stderr)
+    return worst < atol, {"max_err": round(worst, 8), "cases": per_case,
+                          "atol": atol}
 
 
 def bench_microgather(sdf_cfg, params, quick):
