@@ -107,6 +107,169 @@ def _raycast_sphere(pose_w2c, K, H, W, rad, detail: float = 0.0):
     return img.reshape(H, W, 3)
 
 
+# ---------------------------------------------------------------------------
+# Multi-object SDF scene — the round-3 "hard" benchmark geometry
+# (VERDICT r2 item 1: multi-object / non-sphere with occlusions, realistic
+# non-repeating texture, rendered for the REAL SIFT preparation path).
+# ---------------------------------------------------------------------------
+
+def _rot_y(deg):
+    a = np.deg2rad(deg)
+    return np.asarray([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                       [-np.sin(a), 0, np.cos(a)]], np.float64)
+
+
+def _rot_x(deg):
+    a = np.deg2rad(deg)
+    return np.asarray([[1, 0, 0], [0, np.cos(a), -np.sin(a)],
+                       [0, np.sin(a), np.cos(a)]], np.float64)
+
+
+def _sdf_sphere(p, c, r):
+    return np.linalg.norm(p - c, axis=-1) - r
+
+
+def _sdf_box(p, c, half, R=None):
+    q = p - c
+    if R is not None:
+        q = q @ R  # world->object (R columns = object axes)
+    q = np.abs(q) - half
+    outside = np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+    inside = np.minimum(np.max(q, axis=-1), 0.0)
+    return outside + inside
+
+
+def _sdf_torus(p, c, R_maj, r_min, R=None):
+    q = p - c
+    if R is not None:
+        q = q @ R
+    ring = np.sqrt(q[..., 0] ** 2 + q[..., 2] ** 2) - R_maj
+    return np.sqrt(ring ** 2 + q[..., 1] ** 2) - r_min
+
+
+# (kind, params, texture seed, texture res) — all inside |x|<0.72 so the
+# scene fits the [-1,1] field bounds with cameras on the ring_rad=2 orbit.
+# Texture res is matched to each object's PROJECTED size (~60-150 px at
+# 320px frames from the ring): sub-pixel texels alias view-dependently and
+# starve SIFT (see `_random_texture`), so small objects get coarse maps.
+_HARD_OBJECTS = (
+    ("box",    dict(c=np.asarray([-0.27, -0.04, 0.02]),
+                    half=np.asarray([0.24, 0.31, 0.20]),
+                    R=_rot_y(28.0)),                         211, 320),
+    ("sphere", dict(c=np.asarray([0.36, -0.15, 0.18]), r=0.25), 223, 96),
+    ("torus",  dict(c=np.asarray([0.07, 0.30, -0.13]), R_maj=0.26,
+                    r_min=0.10, R=_rot_x(55.0) @ _rot_y(20.0)), 229, 224),
+    ("sphere", dict(c=np.asarray([0.30, 0.20, -0.38]), r=0.17), 239, 64),
+)
+
+
+def hard_scene_sdf(p: np.ndarray):
+    """(sdf [.,], nearest object id [.,]) of the union scene."""
+    ds = []
+    for kind, kw, _seed, _res in _HARD_OBJECTS:
+        if kind == "sphere":
+            ds.append(_sdf_sphere(p, **kw))
+        elif kind == "box":
+            ds.append(_sdf_box(p, **kw))
+        else:
+            ds.append(_sdf_torus(p, **kw))
+    ds = np.stack(ds, axis=-1)
+    return ds.min(axis=-1), ds.argmin(axis=-1)
+
+
+def _hard_albedo(p: np.ndarray, obj_id: np.ndarray) -> np.ndarray:
+    """Per-object non-repeating texture (luminance-correlated — see
+    `_random_texture`) sampled by spherical coords about each object's
+    center, so every surface patch has a unique SIFT fingerprint."""
+    out = np.zeros(p.shape, np.float32)
+    for i, (_kind, kw, seed, res) in enumerate(_HARD_OBJECTS):
+        m = obj_id == i
+        if not m.any():
+            continue
+        q = p[m] - kw["c"]
+        # fine grain at FULL contrast (SIFT's detector lives off the fine
+        # gradients — averaging in a coarse octave starves it, measured
+        # 209 -> 95 kypts/img), multiplicatively modulated by a coarse
+        # octave for large-scale structure
+        fine = _random_texture(q, res=res, seed=seed)
+        coarse = _random_texture(q, res=max(res // 3, 16), seed=seed + 1)
+        tex = fine * (0.75 + 0.5 * (coarse - 0.5))
+        out[m] = 0.08 + 0.9 * np.clip(tex, 0.0, 1.0)
+    return out
+
+
+def render_hard_view(pose_w2c: np.ndarray, K: np.ndarray, H: int, W: int,
+                     max_steps: int = 96, eps: float = 2e-4,
+                     t_max: float = 4.5) -> np.ndarray:
+    """Sphere-trace the union SDF and shade lambertian (one directional
+    light + ambient) with per-object texture. Background stays black (the
+    synthprep convention, bgcolor [0,0,0])."""
+    R, t = pose_w2c[:, :3], pose_w2c[:, 3]
+    cam_pos = -R.T @ t
+    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5, indexing="ij")
+    pix = np.stack([xs, ys, np.ones_like(xs)], axis=-1).reshape(-1, 3)
+    dirs = (pix @ np.linalg.inv(K).T) @ R
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    n = dirs.shape[0]
+    tcur = np.full(n, 0.5, np.float64)       # objects are >1.3 from cameras
+    alive = np.ones(n, bool)
+    for _ in range(max_steps):
+        idx = np.where(alive)[0]
+        if idx.size == 0:
+            break
+        p = cam_pos[None] + tcur[idx, None] * dirs[idx]
+        d, _ = hard_scene_sdf(p)
+        tcur[idx] += d
+        hit_now = d < eps
+        dead = hit_now | (tcur[idx] > t_max)
+        alive[idx[dead]] = False
+    p = cam_pos[None] + tcur[:, None] * dirs
+    d, obj_id = hard_scene_sdf(p)
+    hit = (d < 10 * eps) & (tcur < t_max)
+
+    img = np.zeros((n, 3), np.float32)
+    if hit.any():
+        ph = p[hit]
+        # central-difference normals of the union SDF
+        h = 1e-3
+        grads = []
+        for ax in range(3):
+            e = np.zeros(3)
+            e[ax] = h
+            grads.append(hard_scene_sdf(ph + e)[0] - hard_scene_sdf(ph - e)[0])
+        nrm = np.stack(grads, axis=-1)
+        nrm = nrm / (np.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12)
+        light = np.asarray([0.45, 0.8, -0.4])
+        light = light / np.linalg.norm(light)
+        lam = np.clip(nrm @ light, 0.0, 1.0)
+        shade = (0.62 + 0.38 * lam)[:, None]
+        img[hit] = np.clip(_hard_albedo(ph, obj_id[hit]) * shade, 0.0, 1.0)
+    return img.reshape(H, W, 3)
+
+
+def make_hard_scene_images(n_views=32, H=400, W=400, ring_rad=1.6,
+                           look_at=(0.0, 0.05, 0.0), full_orbit=True):
+    """Images + GT cameras for the hard benchmark: a full 360-degree orbit
+    with vertical wobble over the 4-object scene (objects occlude each
+    other as the camera passes). Returns (images [N,H,W,3], intrs, poses
+    w2c [N,3,4])."""
+    f = 0.9 * W
+    K = np.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    span = 2 * np.pi if full_orbit else 0.2356 * n_views
+    poses, images = [], []
+    for i in range(n_views):
+        ang = span * i / n_views
+        cam_pos = np.asarray([ring_rad * np.sin(ang),
+                              0.38 + 0.22 * np.sin(2.2 * ang + 0.7),
+                              -ring_rad * np.cos(ang)])
+        pose = _look_at_w2c(cam_pos, np.asarray(look_at, np.float64))
+        poses.append(pose)
+        images.append(render_hard_view(pose, K, H, W))
+    return (np.stack(images), np.broadcast_to(K, (n_views, 3, 3)).copy(),
+            np.stack(poses))
+
+
 @dataclasses.dataclass
 class SyntheticScene:
     images: np.ndarray          # [N,H,W,3]

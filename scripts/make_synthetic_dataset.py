@@ -33,27 +33,46 @@ def main():
     ap.add_argument("--size", type=int, default=320)
     ap.add_argument("--detail", type=float, default=0.35)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--ring_rad", type=float, default=1.6)
+    ap.add_argument("--preset", choices=["sphere", "multi"], default="sphere",
+                    help="'multi' = the round-3 hard benchmark: 4-object "
+                         "SDF scene (box/spheres/torus with occlusions), "
+                         "full 360-degree orbit with vertical wobble")
     args = ap.parse_args()
 
     import imageio.v2 as imageio
     scene_dir = os.path.join(args.out, args.scene)
     img_dir = os.path.join(scene_dir, "images")
     os.makedirs(img_dir, exist_ok=True)
-    scene = synthetic.make_scene(n_views=args.views, H=args.size, W=args.size,
-                                 n_points=1024, seed=args.seed,
-                                 detail=args.detail)
+    if args.preset == "multi":
+        import time
+        t0 = time.time()
+        images, intrs, poses = synthetic.make_hard_scene_images(
+            n_views=args.views, H=args.size, W=args.size,
+            ring_rad=args.ring_rad)
+        print(f"rendered {args.views} views in {time.time()-t0:.1f}s")
+    else:
+        scene = synthetic.make_scene(n_views=args.views, H=args.size,
+                                     W=args.size, n_points=1024,
+                                     seed=args.seed, detail=args.detail)
+        images, intrs, poses = scene.images, scene.intrs, scene.poses_gt
     cams = {}
     for i in range(args.views):
         imageio.imwrite(os.path.join(img_dir, f"{i:06d}.png"),
-                        (np.clip(scene.images[i], 0, 1) * 255).astype(np.uint8))
+                        (np.clip(images[i], 0, 1) * 255).astype(np.uint8))
         K4 = np.eye(4, dtype=np.float32)
-        K4[:3, :3] = scene.intrs[i]
+        K4[:3, :3] = intrs[i]
         W4 = np.eye(4, dtype=np.float32)
-        W4[:3, :4] = scene.poses_gt[i]
+        W4[:3, :4] = poses[i]
         cams[f"world_mat_{i}"] = K4 @ W4
         cams[f"scale_mat_{i}"] = np.eye(4, dtype=np.float32)
     np.savez(os.path.join(scene_dir, "cameras.npz"), **cams)
+    # init bootstrap constants for the scene config (supp eq 16 surface):
+    # rad_init = |cam0 center|, scale_init = |baseline(cam0, cam1)|
+    c = [-p[:, :3].T @ p[:, 3] for p in poses[:2]]
     print(f"wrote {args.views} views at {args.size}x{args.size} to {scene_dir}")
+    print(f"rad_init (|c0|) = {np.linalg.norm(c[0]):.4f}   "
+          f"scale_init (|c1-c0|) = {np.linalg.norm(c[1] - c[0]):.4f}")
 
 
 if __name__ == "__main__":
