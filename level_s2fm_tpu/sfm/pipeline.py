@@ -322,6 +322,19 @@ class LevelSfM:
     def _final_artifacts(self, verbose=True):
         """Point cloud + camera dump + timing summary
         (ref vis_geo_rgb artifact surface, `pipelines/base.py:131-225`)."""
+        if self.var is not None and self.var.get("depth_gt") is not None \
+                and len(self.camera_set) >= 2:
+            # GT-depth eval (ScanNet loaders carry depth_gt; see
+            # utils/export.eval_depth_vs_gt)
+            try:
+                from ..utils import export as export_mod
+                d = export_mod.eval_depth_vs_gt(
+                    self.params, self.sdf_cfg, self.camera_set,
+                    self.var["depth_gt"], verbose=verbose)
+                self.metrics.log(self.it, depth_abs_rel=d["abs_rel"],
+                                 depth_rmse=d["rmse"], depth_px=d["n_px"])
+            except Exception as e:  # eval must never kill a finished run
+                Log.warn(f"depth eval failed: {e}")
         out = self.opt.get("output_path", None)
         if out:
             try:

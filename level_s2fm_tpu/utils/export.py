@@ -370,6 +370,76 @@ def render_traced_depth(params, sdf_cfg, pose, intr, H: int, W: int,
             "finish": np.asarray(res.finish_mask[:, 0]).reshape(H, W)}
 
 
+def eval_depth_vs_gt(params, sdf_cfg, cameraset, depth_gt, factor: int = 4,
+                     verbose: bool = True):
+    """GT-depth eval metric (ScanNet; closes the loop on the loaded-but-
+    unused `data/scannet.py:76` depth — VERDICT r2 item 8).
+
+    Sphere-traces the learned SDF to a depth map per registered camera
+    (downscaled by ``factor``), converts estimated depth into GT metric
+    units via the Procrustes sim3 between estimated and GT camera centers
+    (scale = s0/s1 — the same alignment `eval_poses` uses, so depth and
+    pose metrics share one gauge), and reports abs-rel + RMSE over pixels
+    where GT is measured (>0) and the trace converged.
+
+    ``depth_gt``: [N_images, Hd, Wd] array indexed by dataset image id
+    (any resolution; nearest-resampled to the eval grid).
+    Returns {"abs_rel", "rmse", "n_px", "per_view": {cam_id: {...}}}.
+    """
+    from ..geometry import transforms as T
+    import jax.numpy as jnp
+
+    poses, poses_gt = cameraset.all_poses()
+    scale = 1.0
+    if poses.shape[0] > 2:
+        with on_host_cpu():
+            try:
+                _, sim3 = T.prealign_cameras(jnp.asarray(poses),
+                                             jnp.asarray(poses_gt))
+                scale = float(sim3.s0) / float(sim3.s1)
+            except Exception:
+                pass  # unaligned scale=1 (init-only scenes)
+    per_view = {}
+    errs, sqs, n_tot = [], [], 0
+    for cam in cameraset.cameras:
+        if cam.id >= len(depth_gt) or depth_gt[cam.id] is None:
+            continue
+        H = cam.img.shape[0]
+        W = cam.img.shape[1]
+        out = render_traced_depth(params, sdf_cfg, cam.pose(), cam.intr,
+                                  H, W, factor=factor)
+        est = out["depth"] * scale
+        h, w = est.shape
+        gt_full = np.asarray(depth_gt[cam.id], np.float32)
+        ys = (np.arange(h) * gt_full.shape[0] / h).astype(int)
+        xs = (np.arange(w) * gt_full.shape[1] / w).astype(int)
+        gt = gt_full[ys][:, xs]
+        valid = (gt > 0) & out["finish"] & np.isfinite(est)
+        n = int(valid.sum())
+        if n == 0:
+            per_view[cam.id] = {"abs_rel": float("nan"),
+                                "rmse": float("nan"), "n_px": 0}
+            continue
+        diff = est[valid] - gt[valid]
+        abs_rel = float(np.mean(np.abs(diff) / gt[valid]))
+        rmse = float(np.sqrt(np.mean(diff ** 2)))
+        per_view[cam.id] = {"abs_rel": abs_rel, "rmse": rmse, "n_px": n}
+        errs.append(np.abs(diff) / gt[valid])
+        sqs.append(diff ** 2)
+        n_tot += n
+    if n_tot == 0:
+        return {"abs_rel": float("nan"), "rmse": float("nan"), "n_px": 0,
+                "per_view": per_view}
+    res = {"abs_rel": float(np.mean(np.concatenate(errs))),
+           "rmse": float(np.sqrt(np.mean(np.concatenate(sqs)))),
+           "n_px": n_tot, "per_view": per_view}
+    if verbose:
+        print(f"depth eval vs GT: abs_rel={res['abs_rel']:.4f} "
+              f"rmse={res['rmse']:.4f} over {n_tot} px "
+              f"({len(per_view)} views, sim3 scale {scale:.4f})")
+    return res
+
+
 def write_video(path: str, frames, fps: int = 30):
     """mp4 writer via cv2 (ref `Camera.py:342-367`); GIF fallback."""
     frames = [np.asarray(f) for f in frames]
