@@ -270,6 +270,188 @@ def make_hard_scene_images(n_views=32, H=400, W=400, ring_rad=1.6,
             np.stack(poses))
 
 
+# ---------------------------------------------------------------------------
+# Multi-room indoor scene (ScanNet-layout; configs/scannet_multiroom.yaml)
+# — two rooms joined by a doorway, furniture, inside-out trajectory.
+# ---------------------------------------------------------------------------
+
+_MR_ROOM_A = dict(c=np.asarray([-1.75, 0.0, 0.0]),
+                  half=np.asarray([1.65, 1.5, 2.2]))
+_MR_ROOM_B = dict(c=np.asarray([1.75, 0.0, 0.0]),
+                  half=np.asarray([1.65, 1.5, 2.2]))
+_MR_DOOR = dict(c=np.asarray([0.0, -0.35, 0.0]),
+                half=np.asarray([0.45, 1.15, 0.7]))
+_MR_FURNITURE = (
+    ("box",    dict(c=np.asarray([-2.55, -1.05, -1.35]),
+                    half=np.asarray([0.45, 0.45, 0.5]), R=_rot_y(15.0)), 311),
+    ("sphere", dict(c=np.asarray([-1.15, -0.95, 1.45]), r=0.5),          313),
+    ("box",    dict(c=np.asarray([2.45, -0.85, 1.25]),
+                    half=np.asarray([0.5, 0.65, 0.45]), R=_rot_y(-25.0)), 317),
+    ("torus",  dict(c=np.asarray([1.55, -1.15, -1.45]), R_maj=0.45,
+                    r_min=0.18, R=_rot_x(90.0)),                          331),
+)
+
+
+def multiroom_sdf(p: np.ndarray):
+    """Solid-space SDF of the two-room scene: free space is the union of
+    both room interiors and the doorway; walls = its complement; plus
+    solid furniture. Returns (sdf, surface id) — ids 0..2 are roomA/roomB/
+    door shells, 3+ the furniture."""
+    free = np.stack([_sdf_box(p, **_MR_ROOM_A), _sdf_box(p, **_MR_ROOM_B),
+                     _sdf_box(p, **_MR_DOOR)], axis=-1)
+    solid_walls = -free.min(axis=-1)
+    wall_id = free.argmin(axis=-1)
+    ds = [solid_walls]
+    for kind, kw, _seed in _MR_FURNITURE:
+        if kind == "sphere":
+            ds.append(_sdf_sphere(p, **kw))
+        elif kind == "box":
+            ds.append(_sdf_box(p, **kw))
+        else:
+            ds.append(_sdf_torus(p, **kw))
+    ds = np.stack(ds, axis=-1)
+    which = ds.argmin(axis=-1)
+    sid = np.where(which == 0, wall_id, which + 2)
+    return ds.min(axis=-1), sid
+
+
+def _planar_texture(u: np.ndarray, v: np.ndarray, res: int, seed: int,
+                    scale: float = 24.0):
+    # scale=24 with res=512 => ~21 texels/unit => feature scale ~4-10 px
+    # at 1.5-3 unit indoor viewing distances (f=0.75*384); finer maps
+    # alias sub-pixel and starve SIFT (same failure as _HARD_OBJECTS)
+    """Sample the cached random map planarly (walls are too large for the
+    spherical mapping `_random_texture` uses)."""
+    key = (res, seed)
+    if key not in _TEX_CACHE:
+        _random_texture(np.zeros((1, 3)), res=res, seed=seed)  # warm cache
+    tex = _TEX_CACHE[key]
+    uf = np.mod(u / scale, 1.0) * (res - 2)
+    vf = np.mod(v / scale, 1.0) * (res - 2)
+    u0 = np.floor(uf).astype(np.int64)
+    v0 = np.floor(vf).astype(np.int64)
+    du = (uf - u0)[..., None]
+    dv = (vf - v0)[..., None]
+    return (tex[u0, v0] * (1 - du) * (1 - dv) + tex[u0 + 1, v0] * du * (1 - dv)
+            + tex[u0, v0 + 1] * (1 - du) * dv
+            + tex[u0 + 1, v0 + 1] * du * dv)
+
+
+def _multiroom_albedo(p: np.ndarray, sid: np.ndarray,
+                      nrm: np.ndarray) -> np.ndarray:
+    out = np.zeros(p.shape, np.float32)
+    walls = sid <= 2
+    if walls.any():
+        # triplanar by dominant normal axis; (surface id, axis) seeds a
+        # distinct non-repeating map per wall family
+        ax = np.argmax(np.abs(nrm[walls]), axis=-1)
+        pw = p[walls]
+        sw = sid[walls]
+        tex = np.zeros((pw.shape[0], 3), np.float32)
+        for a in range(3):
+            m = ax == a
+            if not m.any():
+                continue
+            u_ax, v_ax = [i for i in range(3) if i != a]
+            for room in range(3):
+                mm = m & (sw == room)
+                if not mm.any():
+                    continue
+                tex[mm] = _planar_texture(pw[mm][:, u_ax], pw[mm][:, v_ax],
+                                          res=512, seed=401 + 7 * room + a)
+        out[walls] = 0.25 + 0.7 * tex
+    for i, (_kind, kw, seed) in enumerate(_MR_FURNITURE):
+        m = sid == i + 3
+        if not m.any():
+            continue
+        fine = _random_texture(p[m] - kw["c"], res=160, seed=seed)
+        out[m] = 0.1 + 0.85 * fine
+    return out
+
+
+def render_multiroom_view(pose_w2c: np.ndarray, K: np.ndarray, H: int,
+                          W: int, max_steps: int = 128, eps: float = 4e-4,
+                          t_max: float = 12.0):
+    """Sphere-trace the indoor scene from inside; returns (rgb [H,W,3],
+    z-depth [H,W] — 0 where unconverged, the ScanNet missing-value
+    convention)."""
+    R, t = pose_w2c[:, :3], pose_w2c[:, 3]
+    cam_pos = -R.T @ t
+    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5, indexing="ij")
+    pix = np.stack([xs, ys, np.ones_like(xs)], axis=-1).reshape(-1, 3)
+    dirs_cam = pix @ np.linalg.inv(K).T
+    dirs = dirs_cam @ R
+    nlen = np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dunit = dirs / nlen
+
+    n = dunit.shape[0]
+    tcur = np.full(n, 0.05, np.float64)
+    alive = np.ones(n, bool)
+    for _ in range(max_steps):
+        idx = np.where(alive)[0]
+        if idx.size == 0:
+            break
+        p = cam_pos[None] + tcur[idx, None] * dunit[idx]
+        d, _ = multiroom_sdf(p)
+        tcur[idx] += np.maximum(d, 1e-5)
+        alive[idx[(d < eps) | (tcur[idx] > t_max)]] = False
+    p = cam_pos[None] + tcur[:, None] * dunit
+    d, sid = multiroom_sdf(p)
+    hit = (d < 20 * eps) & (tcur < t_max)
+
+    img = np.zeros((n, 3), np.float32)
+    zdepth = np.zeros(n, np.float32)
+    if hit.any():
+        ph = p[hit]
+        h = 2e-3
+        grads = []
+        for axi in range(3):
+            e = np.zeros(3)
+            e[axi] = h
+            grads.append(multiroom_sdf(ph + e)[0] - multiroom_sdf(ph - e)[0])
+        nrm = np.stack(grads, axis=-1)
+        nrm = nrm / (np.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12)
+        light = np.asarray([0.3, 0.9, 0.3])
+        light = light / np.linalg.norm(light)
+        lam = np.abs(nrm @ light)           # interior: unsigned lambertian
+        shade = (0.55 + 0.45 * lam)[:, None]
+        img[hit] = np.clip(
+            _multiroom_albedo(ph, sid[hit], nrm) * shade, 0.0, 1.0)
+        zdepth[hit] = ((ph - cam_pos) @ R.T[:, 2]).astype(np.float32)
+    return img.reshape(H, W, 3), zdepth.reshape(H, W)
+
+
+def make_multiroom_scene(n_views=24, H=384, W=384):
+    """Inside-out trajectory: sweep room A, pass through the doorway,
+    sweep room B. Returns (images, depths [z, meters], intrs, poses w2c)."""
+    f = 0.75 * W                             # wide-ish indoor FOV
+    K = np.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    # piecewise path: positions and look-targets per keyframe
+    s = np.linspace(0.0, 1.0, n_views)
+    px = np.interp(s, [0, 0.28, 0.5, 0.72, 1.0],
+                   [-2.6, -1.3, 0.0, 1.2, 2.2])
+    pz = 0.85 * np.sin(s * np.pi * 2.1)
+    py = 0.25 + 0.08 * np.sin(s * 13.0)
+    # look mostly forward along +x while in room A / the door, then pan
+    # back into room B's interior at the end (staring into the east wall
+    # from <1 unit starves SIFT — measured 0 inliers on the final pair)
+    lx = np.interp(s, [0, 0.3, 0.55, 0.8, 1.0],
+                   [-0.7, 0.6, 2.0, 2.9, 1.2])
+    lz = 1.1 * np.cos(s * np.pi * 1.7)
+    ly = 0.0 * s
+    poses, images, depths = [], [], []
+    for i in range(n_views):
+        cam_pos = np.asarray([px[i], py[i], pz[i]])
+        target = np.asarray([lx[i], ly[i], lz[i]])
+        pose = _look_at_w2c(cam_pos, target)
+        img, dep = render_multiroom_view(pose, K, H, W)
+        poses.append(pose)
+        images.append(img)
+        depths.append(dep)
+    return (np.stack(images), np.stack(depths),
+            np.broadcast_to(K, (n_views, 3, 3)).copy(), np.stack(poses))
+
+
 @dataclasses.dataclass
 class SyntheticScene:
     images: np.ndarray          # [N,H,W,3]

@@ -34,14 +34,47 @@ def main():
     ap.add_argument("--detail", type=float, default=0.35)
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--ring_rad", type=float, default=1.6)
-    ap.add_argument("--preset", choices=["sphere", "multi"], default="sphere",
+    ap.add_argument("--preset", choices=["sphere", "multi", "multiroom"],
+                    default="sphere",
                     help="'multi' = the round-3 hard benchmark: 4-object "
                          "SDF scene (box/spheres/torus with occlusions), "
-                         "full 360-degree orbit with vertical wobble")
+                         "full 360-degree orbit with vertical wobble; "
+                         "'multiroom' = ScanNet-layout indoor scene (two "
+                         "rooms + doorway, inside-out trajectory, GT depth "
+                         "maps) for configs/scannet_multiroom.yaml")
     args = ap.parse_args()
 
     import imageio.v2 as imageio
     scene_dir = os.path.join(args.out, args.scene)
+
+    if args.preset == "multiroom":
+        import time
+        t0 = time.time()
+        images, depths, intrs, poses = synthetic.make_multiroom_scene(
+            n_views=args.views, H=args.size, W=args.size)
+        print(f"rendered {args.views} views in {time.time()-t0:.1f}s")
+        for sub in ("color", "pose", "depth", "intrinsic"):
+            os.makedirs(os.path.join(scene_dir, sub), exist_ok=True)
+        K4 = np.eye(4, dtype=np.float32)
+        K4[:3, :3] = intrs[0]
+        np.savetxt(os.path.join(scene_dir, "intrinsic",
+                                "intrinsic_color.txt"), K4)
+        for i in range(args.views):
+            stem = f"{i:06d}"
+            imageio.imwrite(os.path.join(scene_dir, "color", stem + ".jpg"),
+                            (np.clip(images[i], 0, 1) * 255).astype(np.uint8),
+                            quality=95)
+            c2w = np.eye(4, dtype=np.float32)
+            R, t = poses[i][:, :3], poses[i][:, 3]
+            c2w[:3, :3] = R.T
+            c2w[:3, 3] = -R.T @ t
+            np.savetxt(os.path.join(scene_dir, "pose", stem + ".txt"), c2w)
+            imageio.imwrite(
+                os.path.join(scene_dir, "depth", stem + ".png"),
+                np.clip(depths[i] * 1000.0, 0, 65535).astype(np.uint16))
+        print(f"wrote ScanNet-layout scene to {scene_dir}")
+        return
+
     img_dir = os.path.join(scene_dir, "images")
     os.makedirs(img_dir, exist_ok=True)
     if args.preset == "multi":
