@@ -70,7 +70,9 @@ def score_candidates(opt, cfgs: PhaseCfgs, params,
             continue
         mask = sdf_by_cand[ci] < gate
         p3d_m, p2d_m = p3d[mask], p2d[mask]
-        res = hostgeom.pnp_ransac(p2d_m, p3d_m, cams[ci].intr, max_error_px=3.0)
+        res = hostgeom.pnp_ransac(p2d_m, p3d_m, cams[ci].intr,
+                                  max_error_px=float(
+                                      opt.optim.get("pnp_max_error_px", 3.0)))
         if not res.success:
             results.append((False, 0.0, 0, n_views))
             continue
@@ -135,7 +137,13 @@ class Registration:
         gate = 5000.0 if self.opt.Ablate_config.get("ba_trad", False) else 0.05
         mask = sdfs < gate
         p3d_m, p2d_m = p3d[mask], p2d[mask]
-        res = hostgeom.pnp_ransac(p2d_m, p3d_m, camera_new.intr, max_error_px=3.0)
+        # pnp_max_error_px: the reference hard-codes 3.0 (`:96`) for its
+        # 1200-1600px working resolutions; at smaller image_size the gate
+        # should scale toward (but not below ~3x) SIFT localization noise
+        res = hostgeom.pnp_ransac(p2d_m, p3d_m, camera_new.intr,
+                                  max_error_px=float(
+                                      self.opt.optim.get("pnp_max_error_px",
+                                                         3.0)))
         if not res.success:
             print(f"registration fail# image{camera_new.id}")
             return False, 0.0, 0
@@ -186,10 +194,13 @@ class Registration:
 
     def geo_init_trad(self, params, camera_new: entities.Camera,
                       pointset: entities.PointSet, key, verbose=True,
-                      reproj_max: float = 8.0):
+                      reproj_max: float = None):
         """tri_trad ablation: DLT triangulation of new observations
         (ref `Registration_Trad.py:216-261`), optional SDF post-fit."""
         from .trad import fit_sdf_to_points
+        if reproj_max is None:
+            reproj_max = float(self.opt.optim.geoinit.get("reproj_max_trad",
+                                                          8.0))
         new_pos = self.cameraset.index_of(camera_new.id)
         all_new_pts, all_c, all_r = [], [], []
         for src_id in self.src_cam_id:
@@ -241,9 +252,21 @@ class Registration:
 
     def geo_init(self, params, camera_new: entities.Camera,
                  pointset: entities.PointSet, key, verbose=True,
-                 reproj_max: float = 15.0):
-        """SDF-based triangulation of new observations (ref `:133-303`)."""
+                 reproj_max: float = None):
+        """SDF-based triangulation of new observations (ref `:133-303`).
+
+        ``reproj_max`` (config `optim.geoinit.reproj_max`, default 15.0 =
+        reference parity): the two-sided triangulation gates are rmax /
+        2*rmax / 4*rmax PIXELS (ref `:227-234` — 15/30/60). The reference
+        tuned them for its 1200-1600px working resolutions; at a smaller
+        image_size they must scale down proportionally (bounded below by
+        ~3x SIFT localization noise) or junk triangulations set a
+        reprojection floor that BA cannot remove — measured on the 200px
+        synthhard run: reproj climbed 0.77 -> 1.3px by view 6 with the
+        unscaled 15px gates."""
         opt = self.opt
+        if reproj_max is None:
+            reproj_max = float(opt.optim.geoinit.get("reproj_max", 15.0))
         if opt.Ablate_config.get("tri_trad", False):
             return self.geo_init_trad(params, camera_new, pointset, key,
                                       verbose=verbose)
