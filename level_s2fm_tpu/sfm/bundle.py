@@ -195,7 +195,10 @@ class Bundler:
                      "se3_r": jnp.asarray(se3[:, :3]),
                      "se3_t": jnp.asarray(se3[:, 3:])}
         state = self.phase.init_state(ba_params, self.xyzs0)
-        if self.cfgs.ren.compact_samples is not None:
+        # occupancy refresh only matters when the phase RENDERS
+        # (mode != "sfm"); pure-reprojection BA has no occ consumer, and
+        # the refresh costs 4 grid rebuilds + extra scan dispatches
+        if self.cfgs.ren.compact_samples is not None and self.mode != "sfm":
             state, metrics = run_phase_occ_refresh(
                 self.opt, self.cfgs, self.phase, state, self.batch, key,
                 self.max_iter)
