@@ -34,6 +34,14 @@ from . import hashgrid, mlp
 from ..rendering import aabb as aabb_mod
 
 
+def _safe_r(xyz):
+    """|xyz| with a finite gradient at the origin (jnp.linalg.norm's VJP
+    is NaN at 0, and an exactly-zero query point — e.g. a padded batch
+    slot — would poison the whole gradient even when masked out of the
+    loss, because 0 * NaN = NaN)."""
+    return jnp.sqrt(jnp.sum(xyz * xyz, axis=-1, keepdims=True) + 1e-12)
+
+
 @dataclasses.dataclass(frozen=True)
 class SDFConfig:
     grid: hashgrid.HashGridConfig
@@ -119,7 +127,7 @@ def infer_sdf(params, cfg: SDFConfig, xyz: jnp.ndarray) -> jnp.ndarray:
     if cfg.inside:
         sdf = feat[..., :1] / cfg.scale_mlp
         if cfg.bg_sdf:
-            sdf = jnp.minimum(sdf, cfg.bg_rad - jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+            sdf = jnp.minimum(sdf, cfg.bg_rad - _safe_r(xyz))
     else:
         sdf = -feat[..., :1] / cfg.scale_mlp
     return sdf
@@ -166,7 +174,7 @@ def infer_all(params, cfg: SDFConfig, xyz: jnp.ndarray):
     if cfg.inside:
         sdf = feat[..., :1] / cfg.scale_mlp
         if cfg.bg_sdf:
-            sdf = jnp.minimum(sdf, cfg.bg_rad - jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+            sdf = jnp.minimum(sdf, cfg.bg_rad - _safe_r(xyz))
     else:
         sdf = -feat[..., :1] / cfg.scale_mlp
     return sdf, feat
@@ -198,7 +206,7 @@ def infer_all_with_normal(params, cfg: SDFConfig, xyz: jnp.ndarray):
 
     sdf = sdf_raw
     if cfg.inside and cfg.bg_sdf:
-        r = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+        r = _safe_r(xyz)
         bg = cfg.bg_rad - r
         take_bg = bg < sdf_raw
         sdf = jnp.where(take_bg, bg, sdf_raw)
@@ -289,7 +297,11 @@ def get_surface_pts(params, cfg: SDFConfig, pts: jnp.ndarray):
     pts_d = jax.lax.stop_gradient(pts)
     sdf, _, normals = infer_all_with_normal(params, cfg, pts_d)
     nval = jnp.linalg.norm(normals, axis=-1, keepdims=True)
-    surf = pts - normals / jax.lax.stop_gradient(nval) * sdf
+    # clamp the divisor: |n| -> 0 in flat/degenerate field regions would
+    # launch the projected point to inf and poison the BA carry; with the
+    # clamp the step length stays <= |n|/eps * |sdf| <= |sdf|
+    denom = jax.lax.stop_gradient(jnp.maximum(nval, 1e-8))
+    surf = pts - normals / denom * sdf
     return surf, nval
 
 

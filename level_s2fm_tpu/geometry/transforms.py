@@ -68,11 +68,18 @@ def get_3D_points_from_depth(center, ray, depth, multi_samples=False):
 
 
 def project_points(pts, pose, K, eps=1e-6):
-    """World points [...,N,3] -> pixel uv [...,N,2] and depth [...,N,1]."""
+    """World points [...,N,3] -> pixel uv [...,N,2] and depth [...,N,1].
+
+    The divisor is clamped away from zero on BOTH sides: a plain
+    ``depth + eps`` still crosses zero for points near/behind the image
+    plane, overflowing uv and NaN-ing gradients through the projection.
+    """
     Xc = world2cam(pts, pose)
     uvw = cam2img(Xc, K)
     depth = uvw[..., 2:]
-    uv = uvw[..., :2] / (depth + eps)
+    denom = jnp.where(depth >= 0, jnp.maximum(depth, eps),
+                      jnp.minimum(depth, -eps))
+    uv = uvw[..., :2] / denom
     return uv, depth
 
 

@@ -23,6 +23,22 @@ def masked_mean(x, mask, eps=1e-8):
     return jnp.sum(x * mask) / (jnp.sum(mask) + eps)
 
 
+def safe_norm(x, axis=-1, eps=1e-12, keepdims=False):
+    """L2 norm with a finite gradient at the origin.
+
+    ``jnp.linalg.norm``'s VJP is ``ct * x/|x|`` = 0/0 = NaN at x == 0, and
+    a zero cotangent does NOT save you (0 * NaN = NaN): one residual that
+    converges to EXACTLY zero in float32 — order-1 probable over the
+    ~1e7 near-converged observation-steps of a long BA phase — poisons
+    the whole gradient and NaNs the fields irreversibly (observed: the
+    32-view flagship run died in global BA at view 13; the reference
+    carries a pdb trap for the same family, `pipelines/BA.py:142-145`).
+    sqrt(sum(x^2) + eps) floors the value at 1e-6 (negligible at pixel /
+    scene scale) and bounds the gradient by 1.
+    """
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
+
+
 def smooth_l1(x, y):
     """Huber with beta=1 (torch smooth_l1_loss default), elementwise."""
     d = jnp.abs(x - y)

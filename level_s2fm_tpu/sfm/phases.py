@@ -50,12 +50,19 @@ class PhaseCfgs:
 
 
 def project_points_per(pts, poses, K, eps=EPS):
-    """Project per-element: pts [P,3], poses [P,3,4], K [3,3] -> uv [P,2], z [P]."""
+    """Project per-element: pts [P,3], poses [P,3,4], K [3,3] -> uv [P,2], z [P].
+
+    The divisor is clamped AWAY from zero on both sides (the reference's
+    ``z + eps`` still crosses zero for points near/behind the image
+    plane, overflowing uv to inf and NaN-ing the masked gradient); the
+    losses additionally gate such observations out via their masks.
+    """
     Xh = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
     Xc = jnp.einsum("pij,pj->pi", poses, Xh)
     uvw = Xc @ K.T
     z = uvw[..., 2]
-    uv = uvw[..., :2] / (z[..., None] + eps)
+    denom = jnp.where(z >= 0, jnp.maximum(z, eps), jnp.minimum(z, -eps))
+    uv = uvw[..., :2] / denom[..., None]
     return uv, z
 
 
@@ -134,7 +141,7 @@ def render_core(params, cfgs: PhaseCfgs, key, poses, intr, images, grid,
         m_tr = sdf_mod.march_slice(march, n_dc, None)
         _, sdf_surf_tr, _, pts_surf_tr = sdf_mod.sphere_reeval(
             params["sdf"], cfgs.sdf, m_tr, tc[None], tray[None])
-        tdist = jnp.linalg.norm(txyz - pts_surf_tr[0], axis=-1)
+        tdist = L.safe_norm(txyz - pts_surf_tr[0], axis=-1)
         out["tracing_loss"] = L.masked_mean(tdist, tmask)
         out["sdfs_traced"] = sdf_surf_tr
         out["tmask"] = tmask
@@ -237,8 +244,33 @@ def get_cached_phase(cls, cfgs, weights, **kwargs):
     return _PHASE_CACHE[key]
 
 
+def guarded_update(tx, grads, opt_state, params):
+    """Apply an optimizer update, skipping the step when ANY gradient
+    leaf is non-finite.
+
+    A single poisoned step (inf loss on an unmasked outlier, a residual
+    at exactly 0 under an unguarded norm, ...) would otherwise write NaN
+    into the fields IRREVERSIBLY mid-scan — 3h of chip time lost on the
+    round-3 flagship run. Skipped steps still advance the optimizer's
+    schedule/step count (same iteration budget as the reference), and the
+    returned ``bad`` flag is surfaced as the ``nonfinite`` metric so a
+    firing guard is visible in the phase printout, never silent.
+
+    Returns (params_new, opt_state_new, bad) with bad in {0.0, 1.0}.
+    """
+    ok = jnp.asarray(True)
+    for g in jax.tree.leaves(grads):
+        ok = ok & jnp.all(jnp.isfinite(g))
+    grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    updates = jax.tree.map(lambda u: jnp.where(ok, u, jnp.zeros_like(u)),
+                           updates)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, 1.0 - ok.astype(jnp.float32)
+
+
 def eikonal_from_normals(normals, mask=None):
-    n = jnp.linalg.norm(normals, axis=-1)
+    n = L.safe_norm(normals, axis=-1)
     if mask is None:
         return L.l1(n, jnp.ones_like(n))
     return L.masked_mean(jnp.abs(n - 1.0), jnp.broadcast_to(mask[..., None], n.shape))
@@ -286,7 +318,7 @@ class InitPhase:
         uv1, _ = T.project_points(tr.pts_surface[1][None], batch["proj_pose"][1][None],
                                   batch["intr"][None])
         uv = jnp.stack([uv0[0], uv1[0]], 0)                      # [2,N,2]
-        re = jnp.linalg.norm(uv - batch["kp_src"], axis=-1)       # [2,N]
+        re = L.safe_norm(uv - batch["kp_src"], axis=-1)           # [2,N]
         loss = {}
         loss["reproj_error"] = L.masked_mean(re, batch["kp_mask"])
         sdf_surf = tr.sdf_surf.reshape(2, -1)
@@ -308,10 +340,11 @@ class InitPhase:
 
         (total, (loss, metrics)), grads = jax.value_and_grad(total_fn, has_aux=True)(
             state["params"])
-        updates, opt = self._tx.update(grads, state["opt"], state["params"])
-        params = optax.apply_updates(state["params"], updates)
+        params, opt, bad = guarded_update(self._tx, grads, state["opt"],
+                                          state["params"])
         metrics.update(loss)
         metrics["all"] = total
+        metrics["nonfinite"] = bad
         return {"params": params, "opt": opt}, metrics
 
     def _run_impl(self, state, batch, key, n_iters: int):
@@ -398,8 +431,8 @@ class GeoInitPhase:
         finish = tr.finish_mask.reshape(2, -1)     # [2,P]
         uv0, _ = project_points_per(pts[0], batch["pose0"], batch["intr"])
         uv1, _ = project_points_per(pts[1], batch["pose1"], batch["intr"])
-        re0 = jnp.linalg.norm(uv0 - batch["kp_src"][0], axis=-1)
-        re1 = jnp.linalg.norm(uv1 - batch["kp_src"][1], axis=-1)
+        re0 = L.safe_norm(uv0 - batch["kp_src"][0], axis=-1)
+        re1 = L.safe_norm(uv1 - batch["kp_src"][1], axis=-1)
         rmax = self.reproj_max
         m0 = finish[0] & (re0 > rmax)
         m1 = finish[1] & (re1 > rmax)
@@ -431,7 +464,7 @@ class GeoInitPhase:
 
         # tracing loss for already-tracked keypoints of the new camera
         w_tr = ((~batch["mask_new"]) & valid & batch["has_target"]).astype(re0.dtype)
-        tdist = jnp.linalg.norm(batch["xyz_target"] - pts[0], axis=-1)
+        tdist = L.safe_norm(batch["xyz_target"] - pts[0], axis=-1)
         seg_tsum = (tdist * w_tr) @ seg_onehot
         seg_tcnt = w_tr @ seg_onehot
         has_t = seg_tcnt > 0
@@ -457,8 +490,8 @@ class GeoInitPhase:
         sdf_surf = sdf_abs_sum / jnp.maximum(sdf_cnt, 1.0)
 
         g_samp = sdf_mod.gradient_chunked(params["sdf"], cfgs.sdf, tr.sample_pts)
-        gn = jnp.concatenate([jnp.linalg.norm(g_exist, axis=-1),
-                              jnp.linalg.norm(g_samp[0], axis=-1)], 0)
+        gn = jnp.concatenate([L.safe_norm(g_exist, axis=-1),
+                              L.safe_norm(g_samp[0], axis=-1)], 0)
         gmask = jnp.concatenate([pe_mask, jnp.ones(g_samp.shape[1], bool)], 0)
         eik = L.masked_mean(jnp.abs(gn - 1.0), gmask)
 
@@ -476,10 +509,11 @@ class GeoInitPhase:
 
         (total, (loss, metrics)), grads = jax.value_and_grad(total_fn, has_aux=True)(
             state["params"])
-        updates, opt = self._tx.update(grads, state["opt"], state["params"])
-        params = optax.apply_updates(state["params"], updates)
+        params, opt, bad = guarded_update(self._tx, grads, state["opt"],
+                                          state["params"])
         metrics.update(loss)
         metrics["all"] = total
+        metrics["nonfinite"] = bad
         return {"params": params, "opt": opt}, metrics
 
     def _run_impl(self, state, batch, key, n_iters: int):
@@ -502,7 +536,7 @@ class GeoInitPhase:
         tr, pts, finish, re0, re1, reject = self._trace_and_masks(params, batch, key)
         valid = batch["valid"]
         w_tr = (~batch["mask_new"]) & valid & batch["has_target"]
-        tdist = jnp.linalg.norm(batch["xyz_target"] - pts[0], axis=-1)
+        tdist = L.safe_norm(batch["xyz_target"] - pts[0], axis=-1)
         return {"pts": pts, "finish": finish, "reject": reject,
                 "trace_dist": tdist, "trace_mask": w_tr}
 
@@ -564,7 +598,7 @@ class BAPhase:
         sdfs = sdf_mod.infer_sdf(params["sdf"], cfgs.sdf, xyzs_new)        # [P,1]
         poses_fwd = lie.se3_to_SE3(se3[batch["pose_idx"]])                 # [P,3,4]
         uv, _ = project_points_per(xyzs_new, poses_fwd, batch["intr"])
-        r = jnp.linalg.norm(uv - batch["kp"], axis=-1)                     # [P]
+        r = L.safe_norm(uv - batch["kp"], axis=-1)                         # [P]
         mask_surf = (jnp.abs(sdfs[..., 0]) < 2 * thr) & batch["valid"]
         mask_ok = mask_surf & jnp.isfinite(r)
         robust = 0.5 * (2 * jnp.log(1 + r ** 2 / 4)) + 0.5 * r
@@ -610,12 +644,18 @@ class BAPhase:
 
         (total, (loss, metrics, xyzs_new)), grads = jax.value_and_grad(
             total_fn, has_aux=True)(state["params"])
-        updates, opt = self._tx.update(grads, state["opt"], state["params"])
-        params = optax.apply_updates(state["params"], updates)
+        params, opt, bad = guarded_update(self._tx, grads, state["opt"],
+                                          state["params"])
         metrics.update(loss)
         metrics["all"] = total
-        new_state = {"params": params, "opt": opt,
-                     "xyzs": jax.lax.stop_gradient(xyzs_new)}
+        metrics["nonfinite"] = bad
+        # carried surface-projected points: never let a non-finite
+        # projection poison the carry (the guard above protects params,
+        # this protects state)
+        xyzs_new = jax.lax.stop_gradient(xyzs_new)
+        fin = jnp.all(jnp.isfinite(xyzs_new), axis=-1, keepdims=True)
+        xyzs_new = jnp.where(fin, xyzs_new, state["xyzs"])
+        new_state = {"params": params, "opt": opt, "xyzs": xyzs_new}
         return new_state, metrics
 
     def _run_impl(self, state, batch, key, n_iters: int):
@@ -685,10 +725,11 @@ class RefinePhase:
 
         (total, (loss, metrics)), grads = jax.value_and_grad(total_fn, has_aux=True)(
             state["params"])
-        updates, opt = self._tx.update(grads, state["opt"], state["params"])
-        params = optax.apply_updates(state["params"], updates)
+        params, opt, bad = guarded_update(self._tx, grads, state["opt"],
+                                          state["params"])
         metrics.update(loss)
         metrics["all"] = total
+        metrics["nonfinite"] = bad
         return {"params": params, "opt": opt}, metrics
 
     def _run_impl(self, state, batch, key, n_iters: int):

@@ -58,12 +58,12 @@ class SdfFitPhase:
         cfgs = self.cfgs
         tr = sdf_mod.sphere_tracing(params["sdf"], cfgs.sdf, batch["center"],
                                     batch["ray"], key=key)
-        tdist = jnp.linalg.norm(batch["pts_at_rays"] - tr.pts_surface[0], axis=-1)
+        tdist = L.safe_norm(batch["pts_at_rays"] - tr.pts_surface[0], axis=-1)
         tracing = L.masked_mean(tdist, batch["kp_mask"])
         sdf_p = sdf_mod.infer_sdf(params["sdf"], cfgs.sdf, batch["pts"])[..., 0]
         sdf_surf = L.masked_mean(jnp.abs(sdf_p), batch["pts_mask"])
         g = sdf_mod.gradient_chunked(params["sdf"], cfgs.sdf, tr.sample_pts)
-        eik = L.l1(jnp.linalg.norm(g, axis=-1), 1.0)
+        eik = L.l1(L.safe_norm(g, axis=-1), 1.0)
         return {"tracing_loss": tracing, "sdf_surf": sdf_surf,
                 "eikonal_loss": eik}
 
@@ -75,10 +75,11 @@ class SdfFitPhase:
                 loss = self._losses(params, batch, k)
                 return L.weighted_total(loss, weights), loss
 
+            from .phases import guarded_update
             (total, loss), grads = jax.value_and_grad(total_fn, has_aux=True)(
                 st["params"])
-            updates, opt = self._tx.update(grads, st["opt"], st["params"])
-            params = optax.apply_updates(st["params"], updates)
+            params, opt, _ = guarded_update(self._tx, grads, st["opt"],
+                                            st["params"])
             loss["all"] = total
             return {"params": params, "opt": opt}, loss
 
@@ -145,15 +146,16 @@ class BATradPhase:
                 poses = lie.se3_to_SE3(se3[batch["pose_idx"]])
                 pts = params["xyzs"][batch["obs_to_pt"]]
                 uv, _ = project_points_per(pts, poses, batch["intr"])
-                r = jnp.linalg.norm(uv - batch["kp"], axis=-1)
+                r = L.safe_norm(uv - batch["kp"], axis=-1)
                 ok = batch["valid"] & jnp.isfinite(r)
                 loss = L.masked_mean(r, ok)
                 return loss, loss
 
+            from .phases import guarded_update
             (total, loss), grads = jax.value_and_grad(total_fn, has_aux=True)(
                 st["params"])
-            updates, opt = self._tx.update(grads, st["opt"], st["params"])
-            params = optax.apply_updates(st["params"], updates)
+            params, opt, _ = guarded_update(self._tx, grads, st["opt"],
+                                            st["params"])
             return {"params": params, "opt": opt}, {"reproj_px": loss}
 
         return jax.lax.scan(step, state, jnp.arange(n_iters))
