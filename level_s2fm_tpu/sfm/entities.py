@@ -182,9 +182,67 @@ class PointSet:
         for i, e in zip(idxs, new_entries):
             self.tracks[int(i)].append(tuple(e))
 
+    def remove_observation(self, pid: int, cam_pos: int, kypt_idx: int):
+        """Drop one (camera_position, keypoint) entry from a track."""
+        t = self.tracks[int(pid)]
+        try:
+            t.remove((int(cam_pos), int(kypt_idx)))
+        except ValueError:
+            pass
+
+    def alive_mask(self) -> np.ndarray:
+        """Points still referenced by at least one track entry."""
+        return np.asarray([len(t) > 0 for t in self.tracks], bool)
+
     def get_parameters(self) -> Dict:
         return {"xyzs": self.all_xyzs().copy(),
                 "feat_tracks": [list(t) for t in self.tracks]}
+
+
+def prune_outlier_observations(cameraset: CameraSet, pointset: PointSet,
+                               thr_px: float, min_track: int = 2):
+    """Drop observations whose post-BA reprojection exceeds ``thr_px``
+    (or that fall behind the image plane), then retire points whose track
+    shrinks below ``min_track`` by freeing their remaining keypoints.
+
+    Deviation (beyond reference): the reference keeps every triangulated
+    observation forever, so a handful of junk matches admitted at
+    registration time set a reprojection floor BA cannot remove — its
+    global-BA loop (`pipelines/LevelS2fM.py:404-418`) then exits on the
+    5-cycle cap instead of the <1.0 px gate (measured: reproj crept
+    0.57 -> 1.07 px over views 9-12 of the 32-view flagship run while
+    rot error stayed at 0.3-0.6 deg). Freed keypoints flip back to
+    idx2d_to_3d == -1 and are re-triangulatable by later geoinit passes,
+    exactly like never-tracked keypoints. Returns
+    (n_observations_removed, n_points_retired).
+    """
+    n_removed = 0
+    for ci, cam in enumerate(cameraset.cameras):
+        kidx = np.where(cam.idx2d_to_3d != -1)[0]
+        if len(kidx) == 0:
+            continue
+        pts = pointset.get_xyzs(cam.idx2d_to_3d[kidx])
+        pose = cam.pose()
+        Xc = pts @ pose[:, :3].T + pose[:, 3]
+        uvw = Xc @ cam.intr.T
+        z = uvw[:, 2]
+        uv = uvw[:, :2] / np.clip(z[:, None], 1e-6, None)
+        err = np.linalg.norm(uv - cam.kypts[kidx], axis=-1)
+        bad = (err > thr_px) | (z <= 1e-6)
+        for k in kidx[bad]:
+            pid = int(cam.idx2d_to_3d[k])
+            cam.idx2d_to_3d[k] = -1
+            pointset.remove_observation(pid, ci, int(k))
+            n_removed += 1
+    n_retired = 0
+    for pid, track in enumerate(pointset.tracks):
+        if 0 < len(track) < min_track:
+            for ci, k in list(track):
+                if cameraset.cameras[ci].idx2d_to_3d[k] == pid:
+                    cameraset.cameras[ci].idx2d_to_3d[k] = -1
+            track.clear()
+            n_retired += 1
+    return n_removed, n_retired
 
 
 def gather_track_observations(cameraset: CameraSet, cam_ids: Sequence[int]):

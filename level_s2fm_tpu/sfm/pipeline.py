@@ -170,6 +170,22 @@ class LevelSfM:
                  + nums / max(nums.max(), 1))
         return pose_graph_left[int(np.argmax(score))]
 
+    def _prune_observations(self, verbose=True):
+        """Post-BA outlier-observation pruning (deviation, beyond
+        reference — see `entities.prune_outlier_observations`). Gated by
+        ``optim.prune.reproj_max`` (px); 0/absent = reference parity
+        (keep every triangulated observation forever)."""
+        pr = self.opt.optim.get("prune", {})
+        thr = float(pr.get("reproj_max", 0.0) or 0.0)
+        if thr <= 0.0:
+            return
+        n_rm, n_ret = entities.prune_outlier_observations(
+            self.camera_set, self.point_set, thr_px=thr,
+            min_track=int(pr.get("min_track", 2)))
+        if verbose and (n_rm or n_ret):
+            print(f"[prune] dropped {n_rm} observations > {thr}px, "
+                  f"retired {n_ret} points")
+
     def register_view(self, new_id: int, verbose=True) -> bool:
         """PnP + geo-init + BA cycles for one view (ref `:283-431`)."""
         opt = self.opt
@@ -217,6 +233,7 @@ class LevelSfM:
                 self.params, reproj = b.run(self.params, self.next_key(), verbose)
             self.camera_set.eval_poses(src_cam_id + [new_id], verbose=verbose)
             cycle += 1
+        self._prune_observations(verbose)
         # global BA cycles
         reproj, cycle = 100.0, 0
         while reproj > 1.0 and cycle < 5:
@@ -226,6 +243,10 @@ class LevelSfM:
                 self.params, reproj = b.run(self.params, self.next_key(), verbose)
             self.camera_set.eval_poses(verbose=verbose)
             cycle += 1
+            # prune INSIDE the loop: the next cycle then optimizes and
+            # gates on the cleaned observation set, so the loop can exit
+            # on the <1.0 px gate instead of the 5-cycle cap
+            self._prune_observations(verbose)
         if full:
             with self.timers.track("refine"):
                 r = Refiner(opt, self.cfgs, self.camera_set, self.point_set)

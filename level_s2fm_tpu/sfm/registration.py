@@ -336,7 +336,9 @@ class Registration:
         pts_exists = alloc((E, 3))
         pts_exists[:len(pointset)] = pointset.all_xyzs()
         pts_mask = np.zeros(E, bool)
-        pts_mask[:len(pointset)] = True
+        # points retired by observation pruning stay out of the exist loss
+        pts_mask[:len(pointset)] = pointset.alive_mask() \
+            if len(pointset) else True
 
         og = opt.optim.geoinit
         weights = {k: v for k, v in opt.loss_weight.geoinit.items()}

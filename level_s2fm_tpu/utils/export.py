@@ -257,7 +257,11 @@ def extract_mesh_octree(params, sdf_cfg, path: Optional[str] = None,
 
 def export_pointcloud(pointset, path: str):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    mc.write_ply(path, pointset.all_xyzs())
+    xyz = pointset.all_xyzs()
+    alive = getattr(pointset, "alive_mask", None)
+    if alive is not None:  # skip points retired by observation pruning
+        xyz = xyz[alive()]
+    mc.write_ply(path, xyz)
 
 
 def export_cameras_json(cameraset, path: str, img_hw=None):
