@@ -233,6 +233,11 @@ class LevelSfM:
                 self.params, reproj = b.run(self.params, self.next_key(), verbose)
             self.camera_set.eval_poses(src_cam_id + [new_id], verbose=verbose)
             cycle += 1
+            # prune inside the loop from cycle 2 (the new camera's pose
+            # has settled by then), so local BA can exit on the <1.0 px
+            # gate instead of burning the 5-cycle cap on junk matches
+            if cycle >= 2:
+                self._prune_observations(verbose)
         self._prune_observations(verbose)
         # global BA cycles
         reproj, cycle = 100.0, 0
