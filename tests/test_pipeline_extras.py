@@ -79,6 +79,29 @@ def test_nbv_pnp_scoring(tmp_path):
     assert nbv == 2
 
 
+def test_prune_hooks_in_pipeline(tmp_path):
+    """optim.prune.reproj_max enables post-BA observation pruning inside
+    register_view; the run completes with consistent camera/point state
+    (every surviving idx2d_to_3d entry backed by a live track)."""
+    opt = build_options(BASE + [
+        "--sfm_mode=fast", f"--output_root={tmp_path}",
+        "--optim.prune.reproj_max=3.0", "--optim.prune.min_track=2"])
+    scene = synthetic.make_scene(n_views=3, H=64, W=64, n_points=200, seed=0)
+    m = LevelSfM(opt, seed=0)
+    m.load_data(synthetic.scene_to_var(scene))
+    assert m.train(max_views=3, verbose=False)
+    alive = m.point_set.alive_mask()
+    for ci, cam in enumerate(m.camera_set.cameras):
+        for k in np.where(cam.idx2d_to_3d != -1)[0]:
+            pid = int(cam.idx2d_to_3d[k])
+            assert alive[pid]
+            assert (ci, int(k)) in [tuple(e) for e in m.point_set.tracks[pid]]
+    # retired points carry no dangling camera references
+    for pid in np.where(~alive)[0]:
+        for cam in m.camera_set.cameras:
+            assert not (cam.idx2d_to_3d == pid).any()
+
+
 def test_get_result_auto_restores(tmp_path):
     """`--get_result` without `--resume`/`--load` restores the checkpoint
     automatically through the train.py surface (regression: it previously
