@@ -200,7 +200,8 @@ class PointSet:
 
 
 def prune_outlier_observations(cameraset: CameraSet, pointset: PointSet,
-                               thr_px: float, min_track: int = 2):
+                               thr_px: float, min_track: int = 2,
+                               max_cam_frac: float = 0.25):
     """Drop observations whose post-BA reprojection exceeds ``thr_px``
     (or that fall behind the image plane), then retire points whose track
     shrinks below ``min_track`` by freeing their remaining keypoints.
@@ -215,6 +216,13 @@ def prune_outlier_observations(cameraset: CameraSet, pointset: PointSet,
     idx2d_to_3d == -1 and are re-triangulatable by later geoinit passes,
     exactly like never-tracked keypoints. Returns
     (n_observations_removed, n_points_retired).
+
+    Guard: a camera whose *fraction* of over-gate observations exceeds
+    ``max_cam_frac`` is skipped — when most of a view's reprojections
+    are bad, the pose (a transiently-diverged BA state) is the suspect,
+    not the matches; pruning there would mass-delete good observations
+    (measured: a diverged local-BA cycle on the 32-view flagship would
+    have wiped 1313 observations in one pass).
     """
     n_removed = 0
     for ci, cam in enumerate(cameraset.cameras):
@@ -229,6 +237,8 @@ def prune_outlier_observations(cameraset: CameraSet, pointset: PointSet,
         uv = uvw[:, :2] / np.clip(z[:, None], 1e-6, None)
         err = np.linalg.norm(uv - cam.kypts[kidx], axis=-1)
         bad = (err > thr_px) | (z <= 1e-6)
+        if bad.mean() > max_cam_frac and len(kidx) >= 8:
+            continue
         for k in kidx[bad]:
             pid = int(cam.idx2d_to_3d[k])
             cam.idx2d_to_3d[k] = -1
@@ -243,6 +253,45 @@ def prune_outlier_observations(cameraset: CameraSet, pointset: PointSet,
             track.clear()
             n_retired += 1
     return n_removed, n_retired
+
+
+def mean_reprojection_px(cameraset: CameraSet, pointset: PointSet,
+                         cam_ids: Optional[Sequence[int]] = None) -> float:
+    """Host-side mean reprojection error over tracked observations of
+    ``cam_ids`` (all cameras when None). Same projection math as
+    `prune_outlier_observations`; used by the BA divergence guard to
+    compare pre/post-cycle error on one consistent observation set."""
+    cams = (cameraset.cameras if cam_ids is None
+            else [cameraset(i) for i in cam_ids])
+    errs = []
+    for cam in cams:
+        kidx = np.where(cam.idx2d_to_3d != -1)[0]
+        if len(kidx) == 0:
+            continue
+        pts = pointset.get_xyzs(cam.idx2d_to_3d[kidx])
+        pose = cam.pose()
+        Xc = pts @ pose[:, :3].T + pose[:, 3]
+        uvw = Xc @ cam.intr.T
+        uv = uvw[:, :2] / np.clip(uvw[:, 2:3], 1e-6, None)
+        errs.append(np.linalg.norm(uv - cam.kypts[kidx], axis=-1))
+    if not errs:
+        return float("nan")
+    return float(np.concatenate(errs).mean())
+
+
+def snapshot_geometry(cameraset: CameraSet, pointset: PointSet):
+    """Cheap rollback point for one BA cycle: camera se3 + point xyz are
+    mutable numpy (copied); field params are immutable jax arrays (the
+    caller just keeps its old pytree reference)."""
+    return ([c.se3.copy() for c in cameraset.cameras],
+            pointset.xyz[:pointset.n].copy())
+
+
+def restore_geometry(cameraset: CameraSet, pointset: PointSet, snap):
+    se3s, xyz = snap
+    for c, s in zip(cameraset.cameras, se3s):
+        c.se3[:] = s
+    pointset.xyz[:len(xyz)] = xyz
 
 
 def gather_track_observations(cameraset: CameraSet, cam_ids: Sequence[int]):

@@ -170,21 +170,72 @@ class LevelSfM:
                  + nums / max(nums.max(), 1))
         return pose_graph_left[int(np.argmax(score))]
 
-    def _prune_observations(self, verbose=True):
+    def _prune_observations(self, verbose=True, reproj: float = None):
         """Post-BA outlier-observation pruning (deviation, beyond
         reference — see `entities.prune_outlier_observations`). Gated by
         ``optim.prune.reproj_max`` (px); 0/absent = reference parity
-        (keep every triangulated observation forever)."""
+        (keep every triangulated observation forever).
+
+        Guard: when the calling BA cycle's mean reprojection ``reproj``
+        is itself above the gate, the state is transiently diverged
+        (poses untrustworthy) and pruning is skipped — outliers are only
+        removable from a near-converged state."""
         pr = self.opt.optim.get("prune", {})
         thr = float(pr.get("reproj_max", 0.0) or 0.0)
         if thr <= 0.0:
             return
+        if reproj is not None and reproj > thr:
+            if verbose:
+                print(f"[prune] skipped: mean reproj {reproj:.2f}px above "
+                      f"the {thr}px gate (diverged state)")
+            return
         n_rm, n_ret = entities.prune_outlier_observations(
             self.camera_set, self.point_set, thr_px=thr,
-            min_track=int(pr.get("min_track", 2)))
+            min_track=int(pr.get("min_track", 2)),
+            max_cam_frac=float(pr.get("max_cam_frac", 0.25)))
         if verbose and (n_rm or n_ret):
             print(f"[prune] dropped {n_rm} observations > {thr}px, "
                   f"retired {n_ret} points")
+
+    def _ba_guard_pre(self, cam_ids):
+        """Snapshot for one BA cycle when the divergence guard is on
+        (``optim.ba_guard.factor`` > 0; 0/absent = reference parity:
+        a diverged cycle's write-back is kept). Returns
+        (pre_mean_reproj_px, geometry_snapshot, params_ref)."""
+        g = self.opt.optim.get("ba_guard", {})
+        if float(g.get("factor", 0.0) or 0.0) <= 0.0:
+            return None, None, None
+        pre = entities.mean_reprojection_px(self.camera_set, self.point_set,
+                                            cam_ids)
+        snap = entities.snapshot_geometry(self.camera_set, self.point_set)
+        return pre, snap, self.params
+
+    def _ba_guard_post(self, label, pre, snap, params_pre, cam_ids,
+                       verbose=True) -> bool:
+        """Deviation (beyond reference): roll one BA cycle back when it
+        *diverged* — post-cycle mean reprojection worse than
+        ``factor``× the pre-cycle value and above ``px_min`` (so normal
+        fluctuation around the gate never triggers). Measured trigger
+        case: view 23 of the 32-view flagship (66-inlier PnP) blew
+        0.87 -> 4.2 px in one local-BA cycle; the reference
+        (`LevelS2fM.py:349-431`) keeps such cycles and lets the error
+        bake in. Returns True when rolled back (caller breaks the loop,
+        keeping the pre-cycle state)."""
+        if snap is None:
+            return False
+        g = self.opt.optim.get("ba_guard", {})
+        factor = float(g.get("factor", 2.0))
+        px_min = float(g.get("px_min", 2.0))
+        post = entities.mean_reprojection_px(self.camera_set, self.point_set,
+                                             cam_ids)
+        if np.isfinite(pre) and post > max(factor * pre, px_min):
+            entities.restore_geometry(self.camera_set, self.point_set, snap)
+            self.params = params_pre
+            if verbose:
+                print(f"[ba-guard] {label} cycle diverged "
+                      f"({pre:.2f} -> {post:.2f}px); rolled back")
+            return True
+        return False
 
     def register_view(self, new_id: int, verbose=True) -> bool:
         """PnP + geo-init + BA cycles for one view (ref `:283-431`)."""
@@ -227,31 +278,41 @@ class LevelSfM:
         # local BA cycles
         reproj, cycle = 100.0, 0
         while reproj > 1.0 and cycle < 5:
+            pre, snap, params_pre = self._ba_guard_pre([new_id] + src_cam_id)
             with self.timers.track("local_ba"):
                 b = Bundler(opt, self.cfgs, self.camera_set, self.point_set,
                             cam_pick_ids=[new_id] + src_cam_id, mode="sfm")
                 self.params, reproj = b.run(self.params, self.next_key(), verbose)
+            if self._ba_guard_post("local BA", pre, snap, params_pre,
+                                   [new_id] + src_cam_id, verbose):
+                reproj = pre
+                break
             self.camera_set.eval_poses(src_cam_id + [new_id], verbose=verbose)
             cycle += 1
             # prune inside the loop from cycle 2 (the new camera's pose
             # has settled by then), so local BA can exit on the <1.0 px
             # gate instead of burning the 5-cycle cap on junk matches
             if cycle >= 2:
-                self._prune_observations(verbose)
-        self._prune_observations(verbose)
+                self._prune_observations(verbose, reproj)
+        self._prune_observations(verbose, reproj if cycle else None)
         # global BA cycles
         reproj, cycle = 100.0, 0
         while reproj > 1.0 and cycle < 5:
+            pre, snap, params_pre = self._ba_guard_pre(None)
             with self.timers.track("global_ba"):
                 b = Bundler(opt, self.cfgs, self.camera_set, self.point_set,
                             mode="sfm")
                 self.params, reproj = b.run(self.params, self.next_key(), verbose)
+            if self._ba_guard_post("global BA", pre, snap, params_pre,
+                                   None, verbose):
+                reproj = pre
+                break
             self.camera_set.eval_poses(verbose=verbose)
             cycle += 1
             # prune INSIDE the loop: the next cycle then optimizes and
             # gates on the cleaned observation set, so the loop can exit
             # on the <1.0 px gate instead of the 5-cycle cap
-            self._prune_observations(verbose)
+            self._prune_observations(verbose, reproj)
         if full:
             with self.timers.track("refine"):
                 r = Refiner(opt, self.cfgs, self.camera_set, self.point_set)
