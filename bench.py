@@ -1,11 +1,13 @@
 """Benchmark: fwd+bwd volumetric-render training step throughput (rays/s).
 
-Flags: --quick (small config), --full (reference 8192-ray batch),
+Flags: --quick (small config, 1 repeat, render only), --full (reference
+8192-ray batch),
 --profile (write a jax.profiler trace of the measured loop),
 --no-occ (disable the default occupancy-guided sample compaction and
 evaluate all 128 samples, the reference's behavior),
 --f32 (full-precision hash tables; default is bf16 reads + f32 accum),
 --ba (neural-BA step throughput instead of the render step),
+--repeats=N (timing repeats for the spread estimate; default 3),
 --paired (gather dense-level corner pairs as 2-row slices; A/B candidate),
 --microgather (hash-encode fwd+bwd microbench, default vs --paired path),
 --verify-pallas (standalone Pallas-vs-jnp-oracle allclose on the real
@@ -17,12 +19,25 @@ Runs the flagship hot path — VolSDF render of the hash-grid SDF + radiance
 fields with gradients w.r.t. all field parameters — exactly as the default
 training configs run it (occupancy compaction ON, configs/levels2fm.yaml).
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N, ...}
 
-vs_baseline compares against the round-1 on-chip TPU record in
-BENCH_BASELINE.json (read-only; key "rays_per_s_2048x128" = 8344 rays/s).
-If the TPU path fails the script prints {"tpu_failed": true, ...} and
-exits nonzero — there is NO silent CPU fallback.
+The default (driver) run proves its own claims (VERDICT r3 item 4):
+  * N=3 timing repeats — "value" is the median, "spread_pct" the
+    (max-min)/median band, so a few-% delta is classifiable vs noise;
+  * "vs_baseline" is LIKE-FOR-LIKE (occ-compacted run vs the occ
+    baseline key); "vs_r1_uncompacted" keeps the historical comparison
+    against the round-1 non-compacted 8344 rays/s record;
+  * a measured roofline: "gather_rows_per_s" (trace-counted table rows
+    gathered+scattered per second) vs the ~840M rows/s XLA gather floor
+    measured on the v5e ("roofline_util" = the de-facto MFU for this
+    gather-bound workload);
+  * "ba_iters_per_s" — the neural-BA phase number rides along in the
+    same line (baseline key "ba_sfm_iters_per_s").
+
+Baselines come from BENCH_BASELINE.json (read-only; a bench run must
+never define its own baseline). If the TPU path fails the script prints
+{"tpu_failed": true, ...} and exits nonzero — there is NO silent CPU
+fallback.
 """
 from __future__ import annotations
 
@@ -146,7 +161,8 @@ def main():
         sys.exit(0 if ok else 3)
 
     if "--ba" in sys.argv:
-        bench_ba(opt, sdf_cfg, rad_cfg, ren_cfg, params, QUICK)
+        print(json.dumps(measure_ba(opt, sdf_cfg, rad_cfg, ren_cfg, params,
+                                    QUICK)))
         return
 
     # occupancy compaction is the DEFAULT (matches configs/levels2fm.yaml);
@@ -188,6 +204,19 @@ def main():
         acc, _ = jax.lax.scan(body, 0.0, None, length=iters)
         return acc
 
+    # trace-time roofline accounting: count the table rows the compiled
+    # step gathers (fwd) and scatters (tangent/cotangent) per iteration.
+    # Lowering traces without compiling, so this costs seconds.
+    from level_s2fm_tpu.fields import hashgrid as _hg
+    rows_per_iter = None
+    try:
+        _hg.TRACE_ROWS = {"fwd": 0, "tangent": 0}
+        jax.jit(lambda p: jax.value_and_grad(loss_fn)(p)).lower(params)
+        rows_per_iter = _hg.TRACE_ROWS["fwd"] + _hg.TRACE_ROWS["tangent"]
+        rows_fwd = _hg.TRACE_ROWS["fwd"]
+    finally:
+        _hg.TRACE_ROWS = None
+
     # compile + warmup; the remote compile helper fails transiently when
     # the terminal is busy/restarting — retry once
     for attempt in range(3):
@@ -206,18 +235,28 @@ def main():
         with jax.profiler.trace(trace_dir):
             jax.block_until_ready(run_steps(params))
         print(f"# profiler trace written to {trace_dir}", file=sys.stderr)
-    t0 = time.perf_counter()
-    out = run_steps(params)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+
+    # N timing repeats -> median + spread, so a few-% round-over-round
+    # delta is classifiable as regression vs tunnel noise (VERDICT r3)
+    repeats = 1 if QUICK else 3
+    for a in sys.argv:
+        if a.startswith("--repeats="):
+            repeats = max(int(a.split("=")[1]), 1)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = run_steps(params)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]          # median
+    spread_pct = ((max(times) - min(times)) / dt * 100.0
+                  if len(times) > 1 else None)
     rays_per_s = n_rays * iters / dt
 
-    # baseline = the round-1 on-chip TPU number for this ray/sample shape
-    # (BENCH_BASELINE.json is READ-ONLY here: a bench run must never
-    # define its own baseline). Compaction runs are compared against the
-    # UNcompacted round-1 baseline on purpose — it is the default-path
-    # speedup the driver tracks round over round.
-    cfg_key = f"rays_per_s_{n_rays}x{sample_intvs}" + ("_cpu" if CPU else "")
+    # baselines (BENCH_BASELINE.json is READ-ONLY here: a bench run must
+    # never define its own baseline). vs_baseline is LIKE-FOR-LIKE: the
+    # occ-compacted default path compares against the _occ baseline key;
+    # vs_r1_uncompacted keeps the historical round-1 comparison.
     record = {}
     if os.path.exists(BASELINE_FILE):
         try:
@@ -225,7 +264,11 @@ def main():
                 record = json.load(f)
         except Exception:
             record = {}
+    cfg_key = (f"rays_per_s_{n_rays}x{sample_intvs}" + occ_tag
+               + ("_cpu" if CPU else ""))
     baseline = record.get(cfg_key)
+    r1_key = f"rays_per_s_{n_rays}x{sample_intvs}" + ("_cpu" if CPU else "")
+    r1_baseline = record.get(r1_key) if occ_tag else None
 
     # on-chip guard for the Pallas composite kernel (VERDICT r2 item 6):
     # the test suite can only exercise the interpreter/jnp oracle on CPU,
@@ -240,12 +283,40 @@ def main():
         except Exception as e:  # a broken kernel must be loud, not fatal
             extra = {"pallas_verified": False, "pallas_error": str(e)}
 
+    # measured roofline: achieved gather+scatter table rows/s vs the
+    # ~840M rows/s XLA gather floor measured on the v5e (docs/PERF.md) —
+    # the de-facto MFU for this gather-bound workload
+    if rows_per_iter:
+        rows_per_s = rows_per_iter * iters / dt
+        floor = float(os.environ.get("BENCH_GATHER_FLOOR", "840e6"))
+        extra.update(
+            gather_rows_per_iter=rows_per_iter,
+            gather_rows_fwd_frac=round(rows_fwd / rows_per_iter, 3),
+            gather_rows_per_s=round(rows_per_s / 1e6, 1),
+            gather_rows_unit="Mrows/s (fwd gathers + bwd scatters)",
+            roofline_util=None if CPU else round(rows_per_s / floor, 3))
+
+    # BA-phase throughput rides along in the default driver run
+    # (VERDICT r3 item 4a); --quick skips it to stay fast
+    if not QUICK:
+        try:
+            ba = measure_ba(opt, sdf_cfg, rad_cfg, ren_cfg, params, quick=False)
+            extra.update(ba_iters_per_s=ba["value"],
+                         ba_vs_baseline=ba["vs_baseline"])
+        except Exception as e:  # the render number must still be reported
+            extra.update(ba_iters_per_s=None,
+                         ba_error=f"{type(e).__name__}: {e}"[:200])
+
     print(json.dumps({
         "metric": "render_train_step_rays_per_s",
         "value": round(rays_per_s, 1),
         "unit": "rays/s" + (" (cpu)" if CPU else "") + (occ_tag and " (occ-compacted default path)"),
         "vs_baseline": round(rays_per_s / baseline, 3) if baseline else None,
         "baseline_key": cfg_key,
+        "repeats": repeats,
+        "spread_pct": round(spread_pct, 2) if spread_pct is not None else None,
+        "vs_r1_uncompacted": (round(rays_per_s / r1_baseline, 3)
+                              if r1_baseline else None),
         **extra,
     }))
 
@@ -369,8 +440,10 @@ def bench_microgather(sdf_cfg, params, quick):
     }))
 
 
-def bench_ba(opt, sdf_cfg, rad_cfg, ren_cfg, params, quick):
-    """Neural-BA step throughput (track observations/s), sfm mode."""
+def measure_ba(opt, sdf_cfg, rad_cfg, ren_cfg, params, quick):
+    """Neural-BA step throughput (track observations/s), sfm mode.
+    Returns the result dict (printed by --ba, merged into the default
+    driver line otherwise)."""
     import jax
     import jax.numpy as jnp
     from level_s2fm_tpu.geometry import transforms as T
@@ -420,12 +493,12 @@ def bench_ba(opt, sdf_cfg, rad_cfg, ren_cfg, params, quick):
                 baseline = json.load(f).get("ba_sfm_iters_per_s")
         except Exception:
             baseline = None
-    print(json.dumps({
+    return {
         "metric": "ba_sfm_step_iters_per_s",
         "value": round(iters_per_s, 2),
         "unit": f"iters/s (P={P} tracks, C={C} cams)",
         "vs_baseline": (round(iters_per_s / baseline, 3) if baseline else None),
-    }))
+    }
 
 
 if __name__ == "__main__":

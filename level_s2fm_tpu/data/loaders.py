@@ -107,6 +107,13 @@ def _recenter_rescale(c2w_list, rad: float):
     for c in c2w_list:
         c[:3, 3] -= center
     max_norm = max(float(np.linalg.norm(c[:3, 3])) for c in c2w_list)
+    if max_norm < 1e-8:
+        # all camera centers coincide (degenerate 1-frame / duplicated-pose
+        # scene): an unguarded divide would silently poison every pose
+        # with inf/NaN (ADVICE r3 item 3)
+        raise ValueError(
+            "recenter/rescale: all camera centers coincide (max |c| = "
+            f"{max_norm:.3g}); cannot rescale a zero-extent camera rig")
     scale = rad / max_norm / 1.1
     for c in c2w_list:
         c[:3, 3] *= scale

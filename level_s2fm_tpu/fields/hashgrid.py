@@ -116,6 +116,21 @@ def _level_indices(grid_int: jnp.ndarray, res: jnp.ndarray,
     return jnp.where(dense_fits, dense_idx % np.uint32(table_size), hashed).astype(jnp.int32)
 
 
+#: Trace-time gather-row accounting for the bench's roofline metric.
+#: Shapes are static under jit, so incrementing at TRACE time counts the
+#: table rows each compiled program gathers per execution. ``fwd`` counts
+#: primal gather rows; ``tangent`` counts tangent-gather rows — whose
+#: transpose is exactly the backward table-cotangent scatter, so it
+#: doubles as the scatter-row count. Enable by assigning a dict
+#: ({"fwd": 0, "tangent": 0}), then trace (e.g. ``jit(f).lower(...)``).
+TRACE_ROWS = None
+
+
+def _count_rows(kind: str, n: int):
+    if TRACE_ROWS is not None:
+        TRACE_ROWS[kind] = TRACE_ROWS.get(kind, 0) + int(n)
+
+
 @functools.partial(jax.custom_jvp, nondiff_argnums=(2,))
 def _table_gather(flat: jnp.ndarray, gi: jnp.ndarray, bf16: bool) -> jnp.ndarray:
     """Table-row gather with a lane-packed differentiation path.
@@ -142,6 +157,7 @@ def _table_gather(flat: jnp.ndarray, gi: jnp.ndarray, bf16: bool) -> jnp.ndarray
     training into NaN. Standard mixed-precision recipe (low-precision
     reads, full-precision accumulation)."""
     src = flat.astype(jnp.bfloat16) if bf16 else flat
+    _count_rows("fwd", gi.size)
     return src[gi].astype(flat.dtype)
 
 
@@ -152,6 +168,7 @@ def _table_gather_jvp(bf16, primals, tangents):
     out = _table_gather(flat, gi, bf16)
     F = flat.shape[1]
     gidx = gi[:, None] * F + jnp.arange(F, dtype=gi.dtype)[None, :]
+    _count_rows("tangent", gi.size)
     dout = dflat.reshape(-1)[gidx]
     return out, dout
 
@@ -167,6 +184,7 @@ def _table_gather_pair(flat: jnp.ndarray, gi: jnp.ndarray, bf16: bool) -> jnp.nd
     2F-contiguous runs. Returns [n, 2, F]."""
     src = flat.astype(jnp.bfloat16) if bf16 else flat
     F = flat.shape[1]
+    _count_rows("fwd", 2 * gi.size)
     out = jax.lax.gather(
         src, gi[:, None],
         jax.lax.GatherDimensionNumbers(
@@ -184,6 +202,7 @@ def _table_gather_pair_jvp(bf16, primals, tangents):
     out = _table_gather_pair(flat, gi, bf16)
     F = flat.shape[1]
     gidx = gi[:, None] * F + jnp.arange(2 * F, dtype=gi.dtype)[None, :]
+    _count_rows("tangent", 2 * gi.size)
     dout = dflat.reshape(-1)[gidx].reshape(gi.shape[0], 2, F)
     return out, dout
 

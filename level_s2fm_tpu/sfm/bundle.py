@@ -213,8 +213,10 @@ class Bundler:
             print({"phase": name, **{k: round(v, 4) for k, v in last.items()}})
             print(f"reprojection error{reproj}")
 
-        # write back poses (ref `BA.py:185-186`)
-        se3_new = np.asarray(jnp.concatenate([p["se3_r"], p["se3_t"]], axis=1))
+        # write back poses (ref `BA.py:185-186`); np.array copies — an
+        # np.asarray view of a jax array is READ-ONLY and would crash the
+        # next in-place pose write (see entities.Camera.__post_init__)
+        se3_new = np.array(jnp.concatenate([p["se3_r"], p["se3_t"]], axis=1))
         for j, cid in enumerate(self.cam_pick_ids):
             self.cameraset(cid).se3 = se3_new[j]
         # write back surface-projected points (see module docstring)

@@ -246,7 +246,8 @@ def get_cached_phase(cls, cfgs, weights, **kwargs):
 
 def guarded_update(tx, grads, opt_state, params):
     """Apply an optimizer update, skipping the step when ANY gradient
-    leaf is non-finite.
+    OR update leaf is non-finite, and sanitizing poisoned optimizer
+    moments.
 
     A single poisoned step (inf loss on an unmasked outlier, a residual
     at exactly 0 under an unguarded norm, ...) would otherwise write NaN
@@ -256,6 +257,17 @@ def guarded_update(tx, grads, opt_state, params):
     returned ``bad`` flag is surfaced as the ``nonfinite`` metric so a
     firing guard is visible in the phase printout, never silent.
 
+    Why updates are checked separately from grads (measured failure,
+    round-3 flagship view-5 global BA): a finite-but-huge gradient
+    (~1e20, f32) passes the grad check, but Adam's second moment g**2
+    overflows to inf; once the FIRST moment also overflows, the update
+    m/sqrt(v) = inf/inf = NaN while every gradient along the way was
+    finite — NaN params with the grad-only guard never firing. The
+    update check catches the NaN step, and the moment sanitization
+    (non-finite inexact opt-state entries reset to 0, i.e. a local
+    optimizer restart for the overflowed entries) stops the poisoned
+    moments from NaN-ing every subsequent step.
+
     Returns (params_new, opt_state_new, bad) with bad in {0.0, 1.0}.
     """
     ok = jnp.asarray(True)
@@ -263,9 +275,15 @@ def guarded_update(tx, grads, opt_state, params):
         ok = ok & jnp.all(jnp.isfinite(g))
     grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
     updates, opt_state = tx.update(grads, opt_state, params)
+    for u in jax.tree.leaves(updates):
+        ok = ok & jnp.all(jnp.isfinite(u))
     updates = jax.tree.map(lambda u: jnp.where(ok, u, jnp.zeros_like(u)),
                            updates)
     params = optax.apply_updates(params, updates)
+    opt_state = jax.tree.map(
+        lambda x: (jnp.where(jnp.isfinite(x), x, jnp.zeros_like(x))
+                   if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact) else x),
+        opt_state)
     return params, opt_state, 1.0 - ok.astype(jnp.float32)
 
 

@@ -184,7 +184,7 @@ class LevelSfM:
         thr = float(pr.get("reproj_max", 0.0) or 0.0)
         if thr <= 0.0:
             return
-        if reproj is not None and reproj > thr:
+        if reproj is not None and (not np.isfinite(reproj) or reproj > thr):
             if verbose:
                 print(f"[prune] skipped: mean reproj {reproj:.2f}px above "
                       f"the {thr}px gate (diverged state)")
@@ -228,7 +228,12 @@ class LevelSfM:
         px_min = float(g.get("px_min", 2.0))
         post = entities.mean_reprojection_px(self.camera_set, self.point_set,
                                              cam_ids)
-        if np.isfinite(pre) and post > max(factor * pre, px_min):
+        # a non-finite post-cycle error IS divergence: `nan > x` is False,
+        # so without the explicit check a NaN'd BA cycle sailed straight
+        # past this guard (round-3 flagship, view-5 global BA)
+        diverged = (not np.isfinite(post)) or (
+            np.isfinite(pre) and post > max(factor * pre, px_min))
+        if diverged:
             entities.restore_geometry(self.camera_set, self.point_set, snap)
             self.params = params_pre
             if verbose:
@@ -237,22 +242,45 @@ class LevelSfM:
             return True
         return False
 
+    def _finite_params_or_revert(self, label: str, params_prev) -> bool:
+        """Post-phase field-health check: if any field-param leaf went
+        non-finite, revert to the pre-phase pytree and log loudly.
+
+        Deviation (beyond reference — the reference asserts and dies,
+        `BA.py:206-218`): on an hours-long on-chip run, one poisoned
+        phase must not cost the whole reconstruction. `guarded_update`
+        makes this near-impossible at the step level; this is the
+        phase-level backstop. Returns True when healthy."""
+        import jax.numpy as jnp
+        ok = all(bool(jnp.all(jnp.isfinite(leaf)))
+                 for leaf in jax.tree.leaves(self.params)
+                 if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.inexact))
+        if not ok:
+            print(f"WARNING: [field-guard] non-finite field params after "
+                  f"{label}; reverting to pre-phase params")
+            self.params = params_prev
+        return ok
+
     def register_view(self, new_id: int, verbose=True) -> bool:
         """PnP + geo-init + BA cycles for one view (ref `:283-431`)."""
         opt = self.opt
         camera_new = self._make_camera(new_id)
         reg = Registration(opt, self.cfgs, self.camera_set)
         with self.timers.track("pnp"):
-            ok, ratio, num = reg.pnp(self.params, camera_new, self.point_set,
-                                     if_nbv=True)
+            ok, ratio, num = reg.pnp(
+                self.params, camera_new, self.point_set, if_nbv=True,
+                min_inliers=int(opt.get("registration", {})
+                                .get("min_inliers", 0)))
         self.camera_set.eval_poses(verbose=verbose)
         if not ok:
             print("reconstruct fail")
             return False
         self.camera_set.add(camera_new)
+        params_pre_geo = self.params
         with self.timers.track("geo_init"):
             self.params = reg.geo_init(self.params, camera_new, self.point_set,
                                        self.next_key(), verbose=verbose)
+        self._finite_params_or_revert("geo_init", params_pre_geo)
         src_cam_id = reg.src_cam_id
 
         if opt.Ablate_config.get("ba_trad", False):
@@ -270,13 +298,16 @@ class LevelSfM:
             # reproj+rendering registration refine on the new cam (<=1 cycle)
             reproj, cycle = 100.0, 0
             while reproj > 2.5 and cycle < 1:
+                params_pre_sr = self.params
                 b = Bundler(opt, self.cfgs, self.camera_set, self.point_set,
                             cam_pick_ids=[new_id], mode="sfm_refine")
                 self.params, reproj = b.run(self.params, self.next_key(), verbose)
+                self._finite_params_or_revert("sfm_refine", params_pre_sr)
                 self.camera_set.eval_poses(src_cam_id + [new_id], verbose=verbose)
                 cycle += 1
         # local BA cycles
         reproj, cycle = 100.0, 0
+        measured_reproj = None  # last MEASURED mean reproj (None = never)
         while reproj > 1.0 and cycle < 5:
             pre, snap, params_pre = self._ba_guard_pre([new_id] + src_cam_id)
             with self.timers.track("local_ba"):
@@ -285,8 +316,11 @@ class LevelSfM:
                 self.params, reproj = b.run(self.params, self.next_key(), verbose)
             if self._ba_guard_post("local BA", pre, snap, params_pre,
                                    [new_id] + src_cam_id, verbose):
-                reproj = pre
+                # after a rollback `pre` is the state's real mean reproj —
+                # hand it to the post-loop prune gate (ADVICE r3 item 2)
+                reproj = measured_reproj = pre
                 break
+            measured_reproj = reproj
             self.camera_set.eval_poses(src_cam_id + [new_id], verbose=verbose)
             cycle += 1
             # prune inside the loop from cycle 2 (the new camera's pose
@@ -294,7 +328,7 @@ class LevelSfM:
             # gate instead of burning the 5-cycle cap on junk matches
             if cycle >= 2:
                 self._prune_observations(verbose, reproj)
-        self._prune_observations(verbose, reproj if cycle else None)
+        self._prune_observations(verbose, measured_reproj)
         # global BA cycles
         reproj, cycle = 100.0, 0
         while reproj > 1.0 and cycle < 5:
@@ -314,9 +348,11 @@ class LevelSfM:
             # on the <1.0 px gate instead of the 5-cycle cap
             self._prune_observations(verbose, reproj)
         if full:
+            params_pre_ref = self.params
             with self.timers.track("refine"):
                 r = Refiner(opt, self.cfgs, self.camera_set, self.point_set)
                 self.params = r.run(self.params, self.next_key(), verbose)
+            self._finite_params_or_revert("refine", params_pre_ref)
         r_deg, t_err, ate = self.camera_set.eval_poses(verbose=False)
         self.metrics.log(self.it, view=new_id, n_cams=len(self.camera_set),
                          n_points=len(self.point_set), reproj_px=reproj,
@@ -336,6 +372,17 @@ class LevelSfM:
         if self.cam_info_reloaded is not None:
             self._reload_scene()
             print("reloading finished")
+
+        # Failure-deferral (config `registration.max_attempts`, default 1 =
+        # reference parity: first failure aborts, `Registration.py:97-99` +
+        # `LevelS2fM.py:306-308`). With max_attempts > 1, a failed view is
+        # deferred — set aside until another view registers (new points =
+        # new 2D-3D pairs = a real second chance) and retried up to
+        # max_attempts times before being skipped for good. A framework
+        # should not lose 19 views to one 0-inlier PnP (round-3 flagship).
+        max_attempts = int(opt.get("registration", {}).get("max_attempts", 1))
+        fail_counts: Dict[int, int] = {}
+        deferred: set = set()   # failed since the last successful registration
         while True:
             if max_views is not None and len(self.camera_set) >= max_views:
                 break
@@ -352,10 +399,28 @@ class LevelSfM:
             if not left:
                 print("finish!")
                 break
-            new_id = self.select_next_view(left, verbose=verbose)
+            retryable = [p for p in left if fail_counts.get(p, 0) < max_attempts]
+            if not retryable:
+                print(f"finish! (skipped unregisterable views: {sorted(left)})")
+                self.metrics.log(self.it, skipped_views=sorted(left))
+                break
+            eligible = [p for p in retryable if p not in deferred]
+            if not eligible:
+                # nothing new registered since these failed; retry anyway
+                deferred.clear()
+                eligible = retryable
+            new_id = self.select_next_view(eligible, verbose=verbose)
             print(f"-------------the best view next id is {new_id}--------------")
             if not self.register_view(new_id, verbose=verbose):
-                return False
+                fail_counts[new_id] = fail_counts.get(new_id, 0) + 1
+                if max_attempts <= 1:
+                    return False    # reference-parity abort
+                deferred.add(new_id)
+                print(f"[defer] view {new_id} failed registration "
+                      f"(attempt {fail_counts[new_id]}/{max_attempts}); "
+                      f"requeued")
+                continue
+            deferred.clear()    # fresh points: failed views get another look
             self.it += 1
             self.save_checkpoint(latest=(self.it % int(opt.freq.ckpt) != 0))
             if int(opt.freq.get("vis", 0)) and self.it % int(opt.freq.vis) == 0:

@@ -51,13 +51,37 @@ def main():
                   f"| {vals[4]:.2f} | {vals[5]:.4f} | {vals[6]:.4f} "
                   f"| {dt:.1f} |")
     n = len(rows)
+    import math
     import statistics as st
-    rot = [r["rot_err_deg"] for r in rows]
-    rep = [r["reproj_px"] for r in rows]
-    ate = [r["ate"] for r in rows]
-    print(f"\nviews registered: {n};  rot err mean {st.mean(rot):.3f} deg "
-          f"(max {max(rot):.3f});  reproj mean {st.mean(rep):.4f} px "
-          f"(max {max(rep):.4f});  final ATE {ate[-1]:.4f} (max {max(ate):.4f})")
+
+    def finite(xs):
+        return [x for x in xs if isinstance(x, (int, float))
+                and math.isfinite(x)]
+
+    rot, rep, ate = ([r[k] for r in rows]
+                     for k in ("rot_err_deg", "reproj_px", "ate"))
+    rot_f, rep_f, ate_f = finite(rot), finite(rep), finite(ate)
+    n_nan = sum(1 for xs in (rot, rep, ate) for x in xs
+                if not (isinstance(x, (int, float)) and math.isfinite(x)))
+    if n_nan:
+        bad_steps = sorted({r.get("step") for r in rows
+                            if any(not (isinstance(r[k], (int, float))
+                                        and math.isfinite(r[k]))
+                                   for k in ("rot_err_deg", "reproj_px",
+                                             "ate"))})
+        print(f"\nWARNING: {n_nan} non-finite metric value(s) at step(s) "
+              f"{bad_steps} — excluded from the summary below")
+    ate_last = ate_f[-1] if ate_f else float("nan")
+    print(f"\nviews registered: {n};  rot err mean "
+          f"{st.mean(rot_f):.3f} deg (max {max(rot_f):.3f})  "
+          f"[{len(rot_f)}/{n} finite];  reproj mean {st.mean(rep_f):.4f} px "
+          f"(max {max(rep_f):.4f});  final ATE {ate_last:.4f} "
+          f"(max {max(ate_f):.4f})" if rot_f and rep_f and ate_f else
+          f"\nviews registered: {n}; no finite metric rows")
+    skipped = [json.loads(l) for l in open(path) if "skipped_views" in l]
+    for s in skipped:
+        print(f"skipped views (failed registration after retries): "
+              f"{s['skipped_views']}")
     span_min = (rows[-1]["t"] - rows[0]["t"]) / 60.0
     if n > 1:
         print(f"wall-clock: {span_min:.1f} min over {n-1} registrations "
