@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--views", type=int, default=9)
     # default must match configs/synthprep.yaml data.raw_size
     ap.add_argument("--size", type=int, default=320)
+    ap.add_argument("--width", type=int, default=None,
+                    help="image width (default: --size, i.e. square); "
+                         "e.g. --size 1200 --width 1600 renders the "
+                         "reference DTU working resolution")
     ap.add_argument("--detail", type=float, default=0.35)
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--ring_rad", type=float, default=1.6)
@@ -43,6 +47,7 @@ def main():
                          "rooms + doorway, inside-out trajectory, GT depth "
                          "maps) for configs/scannet_multiroom.yaml")
     args = ap.parse_args()
+    W_img = args.width or args.size
 
     import imageio.v2 as imageio
     scene_dir = os.path.join(args.out, args.scene)
@@ -51,7 +56,7 @@ def main():
         import time
         t0 = time.time()
         images, depths, intrs, poses = synthetic.make_multiroom_scene(
-            n_views=args.views, H=args.size, W=args.size)
+            n_views=args.views, H=args.size, W=W_img)
         print(f"rendered {args.views} views in {time.time()-t0:.1f}s")
         for sub in ("color", "pose", "depth", "intrinsic"):
             os.makedirs(os.path.join(scene_dir, sub), exist_ok=True)
@@ -81,12 +86,12 @@ def main():
         import time
         t0 = time.time()
         images, intrs, poses = synthetic.make_hard_scene_images(
-            n_views=args.views, H=args.size, W=args.size,
+            n_views=args.views, H=args.size, W=W_img,
             ring_rad=args.ring_rad)
         print(f"rendered {args.views} views in {time.time()-t0:.1f}s")
     else:
         scene = synthetic.make_scene(n_views=args.views, H=args.size,
-                                     W=args.size, n_points=1024,
+                                     W=W_img, n_points=1024,
                                      seed=args.seed, detail=args.detail)
         images, intrs, poses = scene.images, scene.intrs, scene.poses_gt
     cams = {}
@@ -103,7 +108,7 @@ def main():
     # init bootstrap constants for the scene config (supp eq 16 surface):
     # rad_init = |cam0 center|, scale_init = |baseline(cam0, cam1)|
     c = [-p[:, :3].T @ p[:, 3] for p in poses[:2]]
-    print(f"wrote {args.views} views at {args.size}x{args.size} to {scene_dir}")
+    print(f"wrote {args.views} views at {args.size}x{W_img} to {scene_dir}")
     print(f"rad_init (|c0|) = {np.linalg.norm(c[0]):.4f}   "
           f"scale_init (|c1-c0|) = {np.linalg.norm(c[1] - c[0]):.4f}")
 

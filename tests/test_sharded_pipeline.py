@@ -141,15 +141,33 @@ def test_full_pipeline_1_vs_8_devices(tmp_path):
         r, t, ate = m.camera_set.eval_poses(verbose=False)
         reproj = [h["reproj_px"] for h in m.metrics.history
                   if "reproj_px" in h][-1]
-        return float(r), float(t), float(ate), float(reproj), len(m.point_set)
+        return ((float(r), float(t), float(ate), float(reproj),
+                 len(m.point_set)),
+                m.camera_set.all_se3().copy(),
+                np.asarray(m.point_set.all_xyzs()).copy())
 
-    r1, t1, a1, e1, n1 = run([], "d1")
-    r8, t8, a8, e8, n8 = run(["--parallel.data_devices=8"], "d8")
+    (r1, t1, a1, e1, n1), se3_1, pts1 = run([], "d1")
+    (r8, t8, a8, e8, n8), se3_8, pts8 = run(["--parallel.data_devices=8"],
+                                            "d8")
     assert abs(r1 - r8) < 4.0          # deg (measured 1.8)
     assert abs(t1 - t8) < 5e-3         # (measured 5e-4)
     assert abs(a1 - a8) < 5e-3
     assert abs(e1 - e8) < 5e-2         # px (measured 4e-3)
     assert abs(n1 - n8) <= max(8, 0.15 * n1)   # (measured 4)
+
+    # END-STATE equivalence (VERDICT r3 item 9): the two runs share the
+    # same gauge (same init pair + essential-matrix bootstrap), so poses
+    # and points are directly comparable. Bounds are ~3x the measured
+    # chaotic amplification of reduction-order noise (se3 3.5e-2,
+    # mean-NN 2e-3); a real sharding bug (wrong psum, padded rows in a
+    # loss) lands orders of magnitude above.
+    assert np.abs(se3_1 - se3_8).max() < 1e-1, \
+        f"pose drift {np.abs(se3_1 - se3_8).max():.4f}"
+    # point sets can differ by a few triangulations; compare as clouds:
+    # mean nearest-neighbor distance in BOTH directions
+    d18 = np.sqrt(((pts1[:, None] - pts8[None]) ** 2).sum(-1))
+    nn = 0.5 * (d18.min(1).mean() + d18.min(0).mean())
+    assert nn < 1e-2, f"point-cloud NN distance {nn:.5f}"
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
