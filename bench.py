@@ -165,6 +165,10 @@ def main():
                                     QUICK)))
         return
 
+    if "--ba-bisect" in sys.argv:
+        bench_ba_bisect(sdf_cfg, params, QUICK)
+        return
+
     # occupancy compaction is the DEFAULT (matches configs/levels2fm.yaml);
     # --no-occ measures the uncompacted reference-equivalent path
     occ_grid = None
@@ -437,6 +441,84 @@ def bench_microgather(sdf_cfg, params, quick):
         "vs_baseline": round(ms_default / ms_paired, 3),
         "default_ms": round(ms_default, 3),
         "n_dense_levels": cfg.n_dense_levels,
+    }))
+
+
+def bench_ba_bisect(sdf_cfg, params, quick):
+    """Bisect the BA-sfm step cost: time scanned fwd+bwd loops of each
+    component in isolation (P track points, grads to the SDF params).
+    Prints one JSON line with ms/iter per component — run on chip to find
+    where the ~10 iters/s BA step actually spends its time (VERDICT r4
+    item 7 groundwork)."""
+    import jax
+    import jax.numpy as jnp
+    from level_s2fm_tpu.fields import sdf as sdf_mod
+    from level_s2fm_tpu.sfm import optim as optim_mod
+    import optax
+
+    P = 1024 if quick else 8192
+    iters = 3 if quick else 10
+    rng = np.random.default_rng(0)
+    xyzs = rng.normal(size=(P, 3)).astype(np.float32)
+    xyzs /= np.linalg.norm(xyzs, axis=-1, keepdims=True) * 2.0
+    xyzs = jnp.asarray(xyzs)
+    p_sdf = params["sdf"]
+
+    def timed(loss_fn, p):
+        @jax.jit
+        def steps(p):
+            def body(acc, _):
+                v, g = jax.value_and_grad(loss_fn)(p)
+                return acc + v + 1e-12 * sum(jnp.sum(jnp.abs(x))
+                                             for x in jax.tree.leaves(g)), None
+            acc, _ = jax.lax.scan(body, 0.0, None, length=iters)
+            return acc
+        jax.block_until_ready(steps(p))
+        t0 = time.perf_counter()
+        jax.block_until_ready(steps(p))
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    out = {}
+    # C: one plain SDF eval (1 gather pass fwd, 1 scatter bwd)
+    out["infer_sdf_ms"] = timed(
+        lambda p: jnp.sum(jnp.abs(sdf_mod.infer_sdf(p, sdf_cfg, xyzs))), p_sdf)
+    # D: fused sdf+normal eval (the get_surface_pts inner op)
+    def loss_normal(p):
+        s, n = sdf_mod.infer_with_normal_chunked(p, sdf_cfg, xyzs)
+        return jnp.sum(jnp.abs(s)) + jnp.sum(jnp.abs(n))
+    out["infer_with_normal_ms"] = timed(loss_normal, p_sdf)
+    # B: full surface projection + re-eval (the BA per-iter field math)
+    def loss_surf(p):
+        x_new, nval = sdf_mod.get_surface_pts(p, sdf_cfg, xyzs)
+        s = sdf_mod.infer_sdf(p, sdf_cfg, x_new)
+        return (jnp.sum(jnp.abs(s)) + jnp.sum(jnp.abs(x_new))
+                + jnp.sum(jnp.abs(nval - 1.0)))
+    out["surface_project_ms"] = timed(loss_surf, p_sdf)
+    # E: optimizer-only — adam_stacked update on the full param tree with
+    # a constant gradient (isolates the table/moment update HBM cost)
+    tx = optim_mod.adam_stacked(1e-3)
+    ones_g = jax.tree.map(jnp.ones_like, p_sdf)
+    opt0 = tx.init(p_sdf)
+
+    @jax.jit
+    def opt_steps(p, o):
+        def body(carry, _):
+            p, o = carry
+            u, o = tx.update(ones_g, o, p)
+            return (optax.apply_updates(p, u), o), None
+        (p, o), _ = jax.lax.scan(body, (p, o), None, length=iters)
+        return p, o
+    jax.block_until_ready(opt_steps(p_sdf, opt0))
+    t0 = time.perf_counter()
+    jax.block_until_ready(opt_steps(p_sdf, opt0))
+    out["adam_table_update_ms"] = (time.perf_counter() - t0) / iters * 1e3
+
+    print(json.dumps({
+        "metric": "ba_bisect_ms_per_iter",
+        "value": round(out["surface_project_ms"], 2),
+        "unit": f"ms/iter (P={P})",
+        "vs_baseline": None,
+        **{k: round(v, 2) for k, v in out.items()},
     }))
 
 

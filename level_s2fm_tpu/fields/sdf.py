@@ -379,8 +379,20 @@ def sphere_march(params, cfg: SDFConfig, ray0: jnp.ndarray,
         acc_e2 = jnp.minimum(acc_e + curr_e, max_dis)
         pts_s = o_d + acc_s2[:, None] * d_d
         pts_e = o_d + acc_e2[:, None] * d_d
-        nsdf_s2 = jnp.where(new_unf_s, p_detach(sdf_at(pts_s)), nsdf_s)
-        nsdf_e2 = jnp.where(new_unf_e, p_detach(sdf_at(pts_e)), nsdf_e)
+        # gate each side's hash-grid eval on "any ray still unfinished":
+        # jnp.where would mask the VALUE but still pay the full gather
+        # pass every remaining iteration; lax.cond skips the eval outright
+        # once a side converges (the backward march typically converges
+        # in a few steps). Numerics identical — the skipped values were
+        # fully masked anyway.
+        nsdf_s2 = jax.lax.cond(
+            jnp.any(new_unf_s),
+            lambda: jnp.where(new_unf_s, p_detach(sdf_at(pts_s)), nsdf_s),
+            lambda: nsdf_s)
+        nsdf_e2 = jax.lax.cond(
+            jnp.any(new_unf_e),
+            lambda: jnp.where(new_unf_e, p_detach(sdf_at(pts_e)), nsdf_e),
+            lambda: nsdf_e)
         order_ok = acc_s2 < acc_e2
         new_unf_s2 = new_unf_s & order_ok
         new_unf_e2 = new_unf_e & order_ok

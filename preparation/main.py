@@ -44,13 +44,19 @@ def find_images_dir(scene_dir: str) -> str:
 
 
 # --------------------------------------------------------------------- SIFT
-def run_sift_backend(scene_dir: str, max_kypts: int = 8192, ratio: float = 0.8):
+def run_sift_backend(scene_dir: str, max_kypts: int = 8192, ratio: float = 0.8,
+                     contrast: float = 0.04):
+    # ``contrast``: cv2 SIFT contrastThreshold (default = cv2's own 0.04).
+    # High-resolution renders spread texture gradients over more pixels,
+    # starving the default detector (measured: 1200 kypts/img at
+    # 1200x1600 where the 400px render of the same scene gave dense
+    # coverage) — lower to ~0.01 for reference-resolution synthetic scenes
     import cv2
     from level_s2fm_tpu.data.base import sorted_images
     img_dir = find_images_dir(scene_dir)
     fnames = sorted_images(img_dir)
     n = len(fnames)
-    sift = cv2.SIFT_create(nfeatures=max_kypts)
+    sift = cv2.SIFT_create(nfeatures=max_kypts, contrastThreshold=contrast)
     kypts, descs = [], []
     for f in fnames:
         img = cv2.imread(f, cv2.IMREAD_GRAYSCALE)
@@ -242,6 +248,7 @@ def main():
     ap.add_argument("--scene", required=True)
     ap.add_argument("--backend", default="auto", choices=["auto", "colmap", "sift"])
     ap.add_argument("--max_kypts", type=int, default=8192)
+    ap.add_argument("--sift_contrast", type=float, default=0.04)
     args = ap.parse_args()
 
     scene_dir = os.path.join(args.data, args.scene)
@@ -252,7 +259,8 @@ def main():
     if backend == "colmap":
         kypts, pair_matches, pose_graph = run_colmap_backend(scene_dir)
     else:
-        kypts, pair_matches, pose_graph = run_sift_backend(scene_dir, args.max_kypts)
+        kypts, pair_matches, pose_graph = run_sift_backend(
+            scene_dir, args.max_kypts, contrast=args.sift_contrast)
     write_artifacts(scene_dir, kypts, pair_matches, pose_graph)
 
 
