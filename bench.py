@@ -10,6 +10,8 @@ evaluate all 128 samples, the reference's behavior),
 --repeats=N (timing repeats for the spread estimate; default 3),
 --paired (gather dense-level corner pairs as 2-row slices; A/B candidate),
 --microgather (hash-encode fwd+bwd microbench, default vs --paired path),
+--scattersplit (raw gather vs scatter-add HBM bandwidth split, f32/bf16,
+at the default step's row count — attributes the roofline gap),
 --verify-pallas (standalone Pallas-vs-jnp-oracle allclose on the real
 backend; the default bench run also performs this check and reports
 "pallas_verified" in its JSON line — exit code 3 on mismatch),
@@ -167,6 +169,10 @@ def main():
 
     if "--ba-bisect" in sys.argv:
         bench_ba_bisect(sdf_cfg, params, QUICK)
+        return
+
+    if "--scattersplit" in sys.argv:
+        bench_scattersplit(sdf_cfg, params, QUICK)
         return
 
     # occupancy compaction is the DEFAULT (matches configs/levels2fm.yaml);
@@ -441,6 +447,90 @@ def bench_microgather(sdf_cfg, params, quick):
         "vs_baseline": round(ms_default / ms_paired, 3),
         "default_ms": round(ms_default, 3),
         "n_dense_levels": cfg.n_dense_levels,
+    }))
+
+
+def bench_scattersplit(sdf_cfg, params, quick):
+    """Raw HBM bandwidth split of the two ops that bound the render step:
+    the flat table-row GATHER (forward encode) and the flat scalar
+    SCATTER-ADD (the table-cotangent accumulation, i.e. the transpose of
+    `hashgrid._table_gather`'s tangent). Times each in isolation, f32 and
+    bf16, at exactly the default bench step's row count (2048 rays x 32
+    compacted samples x 16 levels x 8 corners = 8.4M rows/iter), plus the
+    real encode fwd-only vs fwd+bwd pair. Run on chip to attribute the
+    gap between the measured step and the 840M rows/s gather floor
+    (VERDICT r4 item 7: "push past 70k rays/s or document the wall")."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = sdf_cfg.grid
+    table = params["sdf"]["table"]
+    L, T, F = table.shape
+    N = 8192 if quick else 65536           # points/iter (2048 rays x 32)
+    rows = N * L * 8                       # gathered/scattered rows/iter
+    iters = 3 if quick else 10
+    rng = np.random.default_rng(0)
+    # per-level indices like the real encode: uniform over each level's
+    # occupied range (dense prefix for coarse levels, full table for fine)
+    res = cfg.resolutions()
+    lvl_sizes = np.minimum((res + 1).astype(np.int64) ** 3, T)
+    gi = np.concatenate([
+        rng.integers(0, lvl_sizes[l], size=N * 8) + l * T
+        for l in range(L)]).astype(np.int32)
+    gi = jnp.asarray(gi)                   # [rows]
+    vals = jnp.asarray(rng.normal(size=(rows, F)).astype(np.float32))
+
+    def timed(fn, *args):
+        @jax.jit
+        def steps(*a):
+            def body(acc, _):
+                return acc + fn(*a), None
+            acc, _ = jax.lax.scan(body, 0.0, None, length=iters)
+            return acc
+        jax.block_until_ready(steps(*args))
+        t0 = time.perf_counter()
+        jax.block_until_ready(steps(*args))
+        return (time.perf_counter() - t0) / iters * 1e3  # ms/iter
+
+    out = {}
+    flat32 = table.reshape(L * T, F)
+    flat16 = flat32.astype(jnp.bfloat16)
+    # 1. row gather (the encode's forward form)
+    out["gather_f32_ms"] = timed(
+        lambda t, i: jnp.sum(t[i].astype(jnp.float32)), flat32, gi)
+    out["gather_bf16_ms"] = timed(
+        lambda t, i: jnp.sum(t[i].astype(jnp.float32)), flat16, gi)
+    # 2. flat scalar scatter-add (the cotangent's exact lowered form:
+    #    [rows*F] values into a [L*T*F] 1-D buffer)
+    sidx = (gi[:, None] * F + jnp.arange(F, dtype=gi.dtype)[None, :]).reshape(-1)
+
+    def scat(buf, v):
+        return jnp.sum(buf.at[sidx].add(
+            v, mode="promise_in_bounds")[:128].astype(jnp.float32))
+
+    out["scatter_f32_ms"] = timed(scat, jnp.zeros(L * T * F, jnp.float32),
+                                  vals.reshape(-1))
+    out["scatter_bf16_ms"] = timed(scat, jnp.zeros(L * T * F, jnp.bfloat16),
+                                   vals.reshape(-1).astype(jnp.bfloat16))
+    # 3. the real op: encode fwd only vs fwd+bwd (param cotangent)
+    from level_s2fm_tpu.fields import hashgrid
+    x = jnp.asarray(rng.uniform(0, 1, size=(N, 3)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(N, L * F)).astype(np.float32))
+    out["encode_fwd_ms"] = timed(
+        lambda t: jnp.sum(hashgrid.encode(t, x, cfg) * cot), table)
+    out["encode_fwdbwd_ms"] = timed(
+        lambda t: jnp.sum(jnp.abs(jax.grad(
+            lambda tt: jnp.sum(hashgrid.encode(tt, x, cfg) * cot))(t))),
+        table)
+    mrows = rows / 1e6
+    print(json.dumps({
+        "metric": "scatter_gather_split",
+        "value": round(out["scatter_f32_ms"], 2),
+        "unit": f"ms/iter ({mrows:.1f}M rows, N={N})",
+        "vs_baseline": None,
+        **{k: round(v, 2) for k, v in out.items()},
+        **{k.replace("_ms", "_mrows_per_s"): round(mrows / (v / 1e3), 1)
+           for k, v in out.items() if not k.startswith("encode")},
     }))
 
 
