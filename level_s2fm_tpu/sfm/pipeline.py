@@ -267,10 +267,12 @@ class LevelSfM:
         camera_new = self._make_camera(new_id)
         reg = Registration(opt, self.cfgs, self.camera_set)
         with self.timers.track("pnp"):
+            reg_cfg = opt.get("registration", {})
             ok, ratio, num = reg.pnp(
                 self.params, camera_new, self.point_set, if_nbv=True,
-                min_inliers=int(opt.get("registration", {})
-                                .get("min_inliers", 0)))
+                min_inliers=int(reg_cfg.get("min_inliers", 0)),
+                min_inlier_ratio=float(
+                    reg_cfg.get("min_inlier_ratio", 0.0)))
         self.camera_set.eval_poses(verbose=verbose)
         if not ok:
             print("reconstruct fail")

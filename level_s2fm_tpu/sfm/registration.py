@@ -119,7 +119,8 @@ class Registration:
     # ------------------------------------------------------------ PnP
     def pnp(self, params, camera_new: entities.Camera, pointset: entities.PointSet,
             if_nbv: bool = False, dry_run: bool = False,
-            min_inliers: int = 0) -> Tuple[bool, float, int]:
+            min_inliers: int = 0,
+            min_inlier_ratio: float = 0.0) -> Tuple[bool, float, int]:
         """SDF-filtered PnP RANSAC + refinement (ref `:75-126`).
 
         Returns (success, inlier_ratio, inlier_count). ``dry_run`` scores
@@ -134,7 +135,16 @@ class Registration:
         100-inlier gate): reject-before-mutation floor so a weak pose
         (measured: a 66-inlier PnP on flagship view 23 blew local BA
         0.81 -> 4.3 px) is deferred instead of accepted — the failure
-        path leaves the point tracks untouched."""
+        path leaves the point tracks untouched.
+
+        ``min_inlier_ratio`` (config `registration.min_inlier_ratio`,
+        default 0.0 = reference parity): scale-independent companion to
+        ``min_inliers`` — reject when inliers / SDF-gated pairs falls
+        below the floor. Unlike an absolute count, the ratio does not
+        need retuning per scene size (measured: the 1200x1600 synthref
+        run accepted a 4/13 = 0.31-ratio PnP whose garbage pose blew
+        local BA 0.7 -> 42 px, while every healthy registration in the
+        same run was >= 0.77)."""
         pairs = self.get_pairs(camera_new, pointset)
         if pairs is None:
             return False, 0.0, 0
@@ -183,6 +193,12 @@ class Registration:
             print(f"registration weak# image{camera_new.id} "
                   f"({len(id_2d_in)} inliers < min_inliers={min_inliers})")
             return False, len(id_2d_in) / max(len(p3d_m), 1), len(id_2d_in)
+        ratio = len(id_2d_in) / max(len(p3d_m), 1)
+        if ratio < min_inlier_ratio:
+            print(f"registration weak# image{camera_new.id} "
+                  f"(inlier ratio {ratio:.2f} = {len(id_2d_in)}/{len(p3d_m)}"
+                  f" < min_inlier_ratio={min_inlier_ratio})")
+            return False, ratio, len(id_2d_in)
         if dry_run:
             return True, len(id_2d_in) / max(len(p3d_m), 1), len(id_2d_in)
         SE3 = np.concatenate([res.R, res.t.reshape(3, 1)], axis=-1)

@@ -238,3 +238,46 @@ def test_geo_init_empty_segs_returns_params(tmp_path):
     out = reg.geo_init(m.params, cam, m.point_set, m.next_key(),
                        verbose=False)
     assert out is m.params                           # identity, same pytree
+
+
+def test_min_inlier_ratio_gate(tmp_path, monkeypatch):
+    """A PnP whose inlier/pair ratio is below registration.min_inlier_ratio
+    must be rejected BEFORE any scene-state mutation (the 1200x1600
+    synthref run accepted a 4/13 = 0.31-ratio pose that blew local BA
+    0.7 -> 42 px); ratio 0 keeps reference parity (any count accepted)."""
+    from level_s2fm_tpu.sfm import registration as reg_mod
+    opt = build_options(BASE + [f"--output_root={tmp_path}"])
+    scene = synthetic.make_scene(n_views=3, H=64, W=64, n_points=50, seed=0)
+    m = LevelSfM(opt, seed=0)
+    m.load_data(synthetic.scene_to_var(scene))
+    reg = reg_mod.Registration(opt, m.cfgs, m.camera_set)
+    cam = m._make_camera(0)
+
+    n = 20
+    rng = np.random.RandomState(0)
+    pairs = (rng.randn(n, 3).astype(np.float32),
+             rng.rand(n, 2).astype(np.float32) * 64,
+             np.arange(n), np.arange(n))
+    monkeypatch.setattr(reg_mod.Registration, "get_pairs",
+                        lambda self, c, ps: pairs)
+    monkeypatch.setattr(reg_mod.sdf_mod, "infer_sdf_host",
+                        lambda p, c, x: np.zeros(len(x), np.float32))
+    inliers = np.zeros(n, bool)
+    inliers[:6] = True                                   # ratio 6/20 = 0.3
+    res = types.SimpleNamespace(success=True, inliers=inliers,
+                                R=np.eye(3), t=np.zeros(3))
+    monkeypatch.setattr(reg_mod.hostgeom, "pnp_ransac", lambda *a, **k: res)
+
+    n_pts_before = len(m.point_set)
+    ok, ratio, cnt = reg.pnp(m.params, cam, m.point_set, if_nbv=True,
+                             min_inlier_ratio=0.5)
+    assert ok is False and cnt == 6
+    assert abs(ratio - 0.3) < 1e-6
+    assert len(m.point_set) == n_pts_before              # no mutation
+    assert (cam.idx2d_to_3d == -1).all()
+
+    # parity default (ratio floor 0) accepts the same result (dry_run to
+    # keep the test free of the write-back machinery)
+    ok2, _, _ = reg.pnp(m.params, cam, m.point_set, if_nbv=True,
+                        dry_run=True)
+    assert ok2 is True
