@@ -175,6 +175,10 @@ def main():
         bench_scattersplit(sdf_cfg, params, QUICK)
         return
 
+    if "--trace" in sys.argv:
+        measure_trace(sdf_cfg, params, n_rays, QUICK)
+        return
+
     # occupancy compaction is the DEFAULT (matches configs/levels2fm.yaml);
     # --no-occ measures the uncompacted reference-equivalent path
     occ_grid = None
@@ -224,6 +228,14 @@ def main():
         jax.jit(lambda p: jax.value_and_grad(loss_fn)(p)).lower(params)
         rows_per_iter = _hg.TRACE_ROWS["fwd"] + _hg.TRACE_ROWS["tangent"]
         rows_fwd = _hg.TRACE_ROWS["fwd"]
+        # per-call-site attribution (march / trace_reeval / render_eval /
+        # surface_project ...): fraction of all rows each consumer moves
+        rows_by_site = {
+            k.split(":")[0]: round(
+                sum(v for kk, v in _hg.TRACE_ROWS.items()
+                    if kk.startswith(k.split(":")[0] + ":")) / rows_per_iter,
+                3)
+            for k in _hg.TRACE_ROWS if ":" in k} if rows_per_iter else {}
     finally:
         _hg.TRACE_ROWS = None
 
@@ -304,6 +316,7 @@ def main():
             gather_rows_fwd_frac=round(rows_fwd / rows_per_iter, 3),
             gather_rows_per_s=round(rows_per_s / 1e6, 1),
             gather_rows_unit="Mrows/s (fwd gathers + bwd scatters)",
+            gather_rows_by_site=rows_by_site,
             roofline_util=None if CPU else round(rows_per_s / floor, 3))
 
     # BA-phase throughput rides along in the default driver run
@@ -609,6 +622,72 @@ def bench_ba_bisect(sdf_cfg, params, quick):
         "unit": f"ms/iter (P={P})",
         "vs_baseline": None,
         **{k: round(v, 2) for k, v in out.items()},
+    }))
+
+
+def measure_trace(sdf_cfg, params, n_rays, quick):
+    """Sphere-tracing throughput (rays/s, fwd+bwd through the re-eval) —
+    the hot path of the DC loss and geoinit triangulation, and the one
+    the march early-exit (`sdf.sphere_march` lax.cond gating) actually
+    accelerates: the driver's render-step metric contains NO march, so
+    march optimizations must be claimed against THIS number, not that
+    one. Also prints the trace-time row split (march vs re-eval); note
+    the march rows are the static fixed-trip upper bound — early-exited
+    iterations still count at trace time."""
+    import jax
+    import jax.numpy as jnp
+    from level_s2fm_tpu.fields import hashgrid as _hg
+    from level_s2fm_tpu.fields import sdf as sdf_mod
+
+    rng = np.random.default_rng(0)
+    ray0 = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -2.0]), (n_rays, 3))
+    ray_d = np.concatenate(
+        [rng.normal(size=(n_rays, 2)) * 0.15, np.ones((n_rays, 1))],
+        axis=-1).astype(np.float32)
+    ray_d /= np.linalg.norm(ray_d, axis=-1, keepdims=True)
+    ray_d = jnp.asarray(ray_d)
+    iters = 3 if quick else 10
+
+    def loss_fn(p):
+        tr = sdf_mod.sphere_tracing(p["sdf"], sdf_cfg, ray0[None],
+                                    ray_d[None], key=jax.random.PRNGKey(0))
+        return (jnp.sum(jnp.abs(tr.d_pred)) * 1e-3
+                + jnp.sum(jnp.abs(tr.sdf_surf)))
+
+    @jax.jit
+    def run_steps(p):
+        def body(acc, _):
+            v, g = jax.value_and_grad(loss_fn)(p)
+            return acc + v + 1e-12 * sum(jnp.sum(jnp.abs(x))
+                                         for x in jax.tree.leaves(g)), None
+        acc, _ = jax.lax.scan(body, 0.0, None, length=iters)
+        return acc
+
+    rows_by_site, rows_per_iter = {}, None
+    try:
+        _hg.TRACE_ROWS = {"fwd": 0, "tangent": 0}
+        jax.jit(lambda p: jax.value_and_grad(loss_fn)(p)).lower(params)
+        rows_per_iter = _hg.TRACE_ROWS["fwd"] + _hg.TRACE_ROWS["tangent"]
+        sites = {k.split(":")[0] for k in _hg.TRACE_ROWS if ":" in k}
+        rows_by_site = {
+            s: round(sum(v for kk, v in _hg.TRACE_ROWS.items()
+                         if kk.startswith(s + ":")) / max(rows_per_iter, 1),
+                     3)
+            for s in sites}
+    finally:
+        _hg.TRACE_ROWS = None
+
+    jax.block_until_ready(run_steps(params))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run_steps(params))
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "sphere_trace_rays_per_s",
+        "value": round(n_rays * iters / dt, 1),
+        "unit": f"rays/s (fwd+bwd, iters_max={sdf_cfg.iters_max})",
+        "vs_baseline": None,
+        "static_rows_per_iter": rows_per_iter,
+        "rows_by_site": rows_by_site,
     }))
 
 

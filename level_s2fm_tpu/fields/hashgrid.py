@@ -18,6 +18,7 @@ derived per-level scale b = exp(ln(2048*scale/N_min)/(L-1))
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 from typing import Optional
@@ -125,10 +126,30 @@ def _level_indices(grid_int: jnp.ndarray, res: jnp.ndarray,
 #: ({"fwd": 0, "tangent": 0}), then trace (e.g. ``jit(f).lower(...)``).
 TRACE_ROWS = None
 
+#: Stack of semantic call-site labels (see ``trace_site``). When non-empty
+#: at trace time, rows are ALSO accumulated under "<site>:<kind>" keys so
+#: the bench can attribute the roofline between march / re-eval / sampling
+#: / render-eval / BA-surface consumers.
+TRACE_SITE = []
+
+
+@contextlib.contextmanager
+def trace_site(name: str):
+    """Label encode calls traced inside this context for TRACE_ROWS
+    attribution. Trace-time only — a no-op for compiled execution."""
+    TRACE_SITE.append(name)
+    try:
+        yield
+    finally:
+        TRACE_SITE.pop()
+
 
 def _count_rows(kind: str, n: int):
     if TRACE_ROWS is not None:
         TRACE_ROWS[kind] = TRACE_ROWS.get(kind, 0) + int(n)
+        if TRACE_SITE:
+            k = f"{TRACE_SITE[-1]}:{kind}"
+            TRACE_ROWS[k] = TRACE_ROWS.get(k, 0) + int(n)
 
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(2,))

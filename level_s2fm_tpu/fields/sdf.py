@@ -295,7 +295,8 @@ def get_surface_pts(params, cfg: SDFConfig, pts: jnp.ndarray):
     buffer, so evaluating both branches at the detached points is exact).
     """
     pts_d = jax.lax.stop_gradient(pts)
-    sdf, _, normals = infer_all_with_normal(params, cfg, pts_d)
+    with hashgrid.trace_site("surface_project"):
+        sdf, _, normals = infer_all_with_normal(params, cfg, pts_d)
     nval = jnp.linalg.norm(normals, axis=-1, keepdims=True)
     # clamp the divisor: |n| -> 0 in flat/degenerate field regions would
     # launch the projected point to inf and poison the BA carry; with the
@@ -493,10 +494,12 @@ def sphere_tracing(params, cfg: SDFConfig, ray0: jnp.ndarray, ray_dir: jnp.ndarr
     track re-evaluation (e.g. pass stop_gradient-ed params for a
     value-only trace).
     """
-    m = sphere_march(params, cfg, ray0, ray_dir)
-    d_pred, sdf_last, finish_mask, pts_surface = sphere_reeval(
-        reeval_params if reeval_params is not None else params,
-        cfg, m, ray0, ray_dir)
+    with hashgrid.trace_site("march"):
+        m = sphere_march(params, cfg, ray0, ray_dir)
+    with hashgrid.trace_site("trace_reeval"):
+        d_pred, sdf_last, finish_mask, pts_surface = sphere_reeval(
+            reeval_params if reeval_params is not None else params,
+            cfg, m, ray0, ray_dir)
     if key is None:
         key = jax.random.PRNGKey(0)
     sample_pts = march_samples(m, ray0, ray_dir, key,

@@ -201,7 +201,9 @@ def volsdf_sampling(sdf_params, sdf_cfg: sdf_mod.SDFConfig, cfg: RendererConfig,
     alpha_g, beta_g = sdf_mod.forward_ab(sdf_params, sdf_cfg)
     d_vals = depth_coarse
     pts = center[..., None, :] + ray[..., None, :] * d_vals[..., None]
-    sdf = jax.lax.stop_gradient(sdf_mod.infer_sdf(sdf_params, sdf_cfg, pts))[..., 0]
+    with sdf_mod.hashgrid.trace_site("adaptive_sampling"):
+        sdf = jax.lax.stop_gradient(
+            sdf_mod.infer_sdf(sdf_params, sdf_cfg, pts))[..., 0]
     for _ in range(cfg.max_upsample_iter):
         bounds = error_bound(d_vals, sdf, alpha_g, beta_g)
         new_d = sample_pdf(0.5 * (d_vals[..., 1:] + d_vals[..., :-1]), bounds,
@@ -308,7 +310,9 @@ def _render_impl(sdf_params, sdf_cfg: sdf_mod.SDFConfig,
 
     alpha_r, beta_r = sdf_mod.forward_ab(sdf_params, sdf_cfg)
     # fused eval: sdf + geometry feature + analytic normal in one gather pass
-    sdfs, feats, normals = sdf_mod.infer_all_with_normal(sdf_params, sdf_cfg, p3d)
+    with sdf_mod.hashgrid.trace_site("render_eval"):
+        sdfs, feats, normals = sdf_mod.infer_all_with_normal(
+            sdf_params, sdf_cfg, p3d)
 
     view = jnp.broadcast_to(ray[..., None, :], p3d.shape)
     ray_enc = radf.embed_view(rad_cfg, view)

@@ -50,3 +50,33 @@ def test_trace_rows_disabled_by_default():
     # in the embedder wrapper)
     assert out.shape == (8, cfg.n_levels * cfg.n_features_per_level)
     assert hashgrid.TRACE_ROWS is None
+
+
+def test_trace_site_attribution():
+    """Rows traced inside hashgrid.trace_site("x") are ALSO accumulated
+    under "x:<kind>" so the bench can split the roofline between march /
+    re-eval / render consumers; totals are unchanged."""
+    cfg = _cfg()
+    table = hashgrid.init_table(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(2).uniform(0.1, 0.9, (16, 3)),
+                    jnp.float32)
+
+    def f(t):
+        with hashgrid.trace_site("siteA"):
+            a = jnp.sum(hashgrid.encode(t, x, cfg))
+        b = jnp.sum(hashgrid.encode(t, x, cfg))      # untagged
+        return a + b
+
+    try:
+        hashgrid.TRACE_ROWS = {"fwd": 0, "tangent": 0}
+        jax.jit(jax.grad(f)).lower(table)
+        rows = dict(hashgrid.TRACE_ROWS)
+    finally:
+        hashgrid.TRACE_ROWS = None
+
+    per_call = cfg.n_levels * 16 * 8
+    assert rows["fwd"] == 2 * per_call               # totals include both
+    assert rows["tangent"] == 2 * per_call
+    assert rows["siteA:fwd"] == per_call             # only the tagged call
+    assert rows["siteA:tangent"] == per_call
+    assert not hashgrid.TRACE_SITE                   # stack unwound
