@@ -125,7 +125,11 @@ def main():
                 "VolSDF": {"sample_intvs": sample_intvs, "final_sample_intvs": 64,
                            "volsdf_sampling": False, "max_upsample_iter": 6,
                            "iters_max_st": 10, "eps": 0.1, "beta_init": 0.05,
-                           "rescale": 1.0, "beta_speed": 1.0, "sdf_threshold": 1e-3},
+                           "rescale": 1.0, "beta_speed": 1.0, "sdf_threshold": 1e-3,
+                           # --reeval-compact=F: trace re-eval dedup budget
+                           "reeval_compact": next(
+                               (float(a.split("=")[1]) for a in sys.argv
+                                if a.startswith("--reeval-compact=")), 0.0)},
                 # bf16 table reads match configs/levels2fm.yaml (f32
                 # gradient accumulation; --f32 measures full-precision)
                 "Hash_config": {"compute_dtype":

@@ -61,6 +61,10 @@ class SDFConfig:
     sdf_threshold: float = 1e-3
     iters_max: int = 20
     res: int = 100  # `opt.Res` — sphere-trace convergence resolution
+    # >0: trace re-eval dedup budget (fraction of iters_max*BN unique
+    # track points evaluated; duplicates forward-filled). 0 = reference
+    # parity path (every track entry gathered). See _reeval_track_compact.
+    reeval_compact: float = 0.0
 
     @property
     def feat_dim(self) -> int:
@@ -100,6 +104,7 @@ def config_from_opt(opt) -> SDFConfig:
         sdf_threshold=float(opt.SDF.VolSDF.sdf_threshold),
         iters_max=int(opt.SDF.VolSDF.iters_max_st),
         res=int(opt.get("Res", 100)),
+        reeval_compact=float(opt.SDF.VolSDF.get("reeval_compact", 0.0)),
     )
 
 
@@ -432,6 +437,51 @@ def march_slice(m: SphereMarch, lo: int, hi) -> SphereMarch:
                        valid=m.valid[lo:hi])
 
 
+def _reeval_track_compact(params, cfg: SDFConfig, m: SphereMarch,
+                          frac: float) -> jnp.ndarray:
+    """Deduplicated differentiable track re-eval (EXACT, deviation in
+    execution only — same points, same sum as the parity path).
+
+    A threshold-converged ray's step size is 0 from convergence on, so
+    its track tail repeats one point bitwise; the parity re-eval
+    (`infer_sdf(m.track)`) still gathers L*8 table rows for every
+    repeat — measured 67% of trace-path rows, most of them duplicates.
+    Here only FIRST occurrences are evaluated (compacted to a static
+    budget ``K = frac * iters_max * BN`` via top_k) and the tail is
+    forward-filled from each ray's last unique value, which reproduces
+    the parity sum exactly (duplicate entries contribute the same value)
+    and routes (n_dups+1)x the gradient through the one evaluated point,
+    exactly as n_dups+1 separate evaluations would. When a batch has
+    more unique points than the budget (pathological: nothing
+    converges), lax.cond falls back to the full parity eval — never an
+    approximation. Default OFF (cfg.reeval_compact = 0)."""
+    E, BN = m.track.shape[0], m.track.shape[1]
+    tr = m.track
+    same = jnp.all(tr[1:] == tr[:-1], axis=-1)                 # [E-1,BN]
+    uniq = jnp.concatenate([jnp.ones((1, BN), bool), ~same], axis=0)
+    uniq = uniq & m.contrib[:, None]
+    n_uniq = jnp.sum(uniq)
+    K = max(min(int(frac * E * BN), E * BN), 1)
+
+    idxs = jnp.arange(E, dtype=jnp.int32)[:, None]
+    # last unique step per ray (step 0 is always unique+contributing)
+    k_last = jnp.max(jnp.where(uniq, idxs, -1), axis=0)        # [BN]
+
+    def compact():
+        score = uniq.reshape(-1).astype(jnp.float32)
+        _, sel = jax.lax.top_k(score, K)                       # unique first
+        pts = tr.reshape(E * BN, 3)[sel]
+        v = infer_sdf(params, cfg, pts)[..., 0] * score[sel]   # zero fillers
+        vals = jnp.zeros(E * BN, v.dtype).at[sel].set(v).reshape(E, BN)
+        last_vals = jnp.take_along_axis(vals, k_last[None, :], axis=0)
+        return jnp.where(idxs <= k_last[None, :], vals, last_vals)
+
+    def full():
+        return infer_sdf(params, cfg, tr)[..., 0]
+
+    return jax.lax.cond(n_uniq <= K, compact, full)
+
+
 def sphere_reeval(params, cfg: SDFConfig, m: SphereMarch,
                   ray0: jnp.ndarray, ray_dir: jnp.ndarray):
     """Differentiable re-evaluation of the SDF along a stored march track:
@@ -444,7 +494,11 @@ def sphere_reeval(params, cfg: SDFConfig, m: SphereMarch,
     """
     B, N = ray0.shape[0], ray0.shape[1]
     p_detach = jax.lax.stop_gradient
-    sdf_tracks = infer_sdf(params, cfg, m.track)[..., 0]         # [iters, BN]
+    if 0.0 < cfg.reeval_compact < 1.0:
+        sdf_tracks = _reeval_track_compact(params, cfg, m,
+                                           cfg.reeval_compact)  # [iters, BN]
+    else:
+        sdf_tracks = infer_sdf(params, cfg, m.track)[..., 0]     # [iters, BN]
     sdf_sum = jnp.sum(sdf_tracks * m.contrib[:, None], axis=0)   # [BN]
     d_pred = sdf_sum + m.min_dis
     d_pred = jnp.minimum(d_pred, m.max_dis)
