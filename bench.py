@@ -129,7 +129,11 @@ def main():
                            # --reeval-compact=F: trace re-eval dedup budget
                            "reeval_compact": next(
                                (float(a.split("=")[1]) for a in sys.argv
-                                if a.startswith("--reeval-compact=")), 0.0)},
+                                if a.startswith("--reeval-compact=")), 0.0),
+                           # --march-compact=F: per-step march compaction
+                           "march_compact": next(
+                               (float(a.split("=")[1]) for a in sys.argv
+                                if a.startswith("--march-compact=")), 0.0)},
                 # bf16 table reads match configs/levels2fm.yaml (f32
                 # gradient accumulation; --f32 measures full-precision)
                 "Hash_config": {"compute_dtype":

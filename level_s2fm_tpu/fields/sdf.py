@@ -65,6 +65,11 @@ class SDFConfig:
     # track points evaluated; duplicates forward-filled). 0 = reference
     # parity path (every track entry gathered). See _reeval_track_compact.
     reeval_compact: float = 0.0
+    # >0: per-step march compaction budget (fraction of BN rays whose SDF
+    # is evaluated once fewer than that many remain unconverged; exact
+    # full-eval fallback above the budget). 0 = parity (full-batch eval
+    # every executed step). See sphere_march.
+    march_compact: float = 0.0
 
     @property
     def feat_dim(self) -> int:
@@ -105,6 +110,7 @@ def config_from_opt(opt) -> SDFConfig:
         iters_max=int(opt.SDF.VolSDF.iters_max_st),
         res=int(opt.get("Res", 100)),
         reeval_compact=float(opt.SDF.VolSDF.get("reeval_compact", 0.0)),
+        march_compact=float(opt.SDF.VolSDF.get("march_compact", 0.0)),
     )
 
 
@@ -355,6 +361,29 @@ def sphere_march(params, cfg: SDFConfig, ray0: jnp.ndarray,
     def sdf_at(pts):
         return infer_sdf(params, cfg, pts)[..., 0]
 
+    # per-step active-ray compaction (EXACT; deviation in execution only):
+    # converged rays' positions are frozen and their values masked out by
+    # the caller's jnp.where, yet the full-batch eval still gathers their
+    # L*8 table rows every remaining step. When at most K = march_compact
+    # * BN rays are still active, evaluate only those (top_k selection,
+    # scatter back; inactive slots get 0, which the caller's mask
+    # discards). Above the budget: exact full-batch fallback.
+    K_m = max(int(cfg.march_compact * BN), 1) if (
+        0.0 < cfg.march_compact < 1.0) else 0
+
+    def sdf_at_active(pts, active):
+        if K_m == 0 or K_m >= BN:
+            return sdf_at(pts)
+
+        def compact():
+            score = active.astype(pts.dtype)
+            _, sel = jax.lax.top_k(score, K_m)      # active rays first
+            v = sdf_at(pts[sel]) * score[sel]       # zero the fillers
+            return jnp.zeros((BN,), pts.dtype).at[sel].set(v)
+
+        return jax.lax.cond(jnp.sum(active) <= K_m, compact,
+                            lambda: sdf_at(pts))
+
     # -------- non-differentiable march (reference runs it under no_grad) ----
     p_detach = jax.lax.stop_gradient
     o_d, d_d = p_detach(o), p_detach(d)
@@ -393,11 +422,15 @@ def sphere_march(params, cfg: SDFConfig, ray0: jnp.ndarray,
         # fully masked anyway.
         nsdf_s2 = jax.lax.cond(
             jnp.any(new_unf_s),
-            lambda: jnp.where(new_unf_s, p_detach(sdf_at(pts_s)), nsdf_s),
+            lambda: jnp.where(new_unf_s,
+                              p_detach(sdf_at_active(pts_s, new_unf_s)),
+                              nsdf_s),
             lambda: nsdf_s)
         nsdf_e2 = jax.lax.cond(
             jnp.any(new_unf_e),
-            lambda: jnp.where(new_unf_e, p_detach(sdf_at(pts_e)), nsdf_e),
+            lambda: jnp.where(new_unf_e,
+                              p_detach(sdf_at_active(pts_e, new_unf_e)),
+                              nsdf_e),
             lambda: nsdf_e)
         order_ok = acc_s2 < acc_e2
         new_unf_s2 = new_unf_s & order_ok

@@ -105,3 +105,45 @@ def test_compact_reeval_saves_rows(rng):
     assert r_cmp["trace_reeval:fwd"] == reeval_parity + int(
         frac * reeval_parity)
     assert r_par["march:fwd"] == r_cmp["march:fwd"]  # march untouched
+
+
+def test_march_compact_matches_parity(rng):
+    """Per-step march compaction (cfg.march_compact) must not change the
+    march: inactive slots are masked by the caller, active slots get the
+    same values — identical trace outputs and gradients."""
+    params, sdf_cfg, _, _ = build(dual=False)
+    o, d = _rays(rng, n=40)
+    cfg_m = dataclasses.replace(sdf_cfg, march_compact=0.5)
+
+    dp0, ss0, fm0 = _trace_outputs(params, sdf_cfg, o, d)
+    dp1, ss1, fm1 = _trace_outputs(params, cfg_m, o, d)
+    np.testing.assert_allclose(np.asarray(dp0), np.asarray(dp1),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ss0), np.asarray(ss1),
+                               rtol=0, atol=1e-6)
+    assert np.array_equal(np.asarray(fm0), np.asarray(fm1))
+
+    def loss(p, cfg):
+        res = sdf_mod.sphere_tracing(p, cfg, o, d, key=jax.random.PRNGKey(0))
+        return jnp.sum(jnp.abs(res.d_pred)) + jnp.sum(jnp.abs(res.sdf_surf))
+
+    g0 = jax.grad(lambda p: loss(p, sdf_cfg))(params["sdf"])
+    g1 = jax.grad(lambda p: loss(p, cfg_m))(params["sdf"])
+    for x, y in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_march_and_reeval_compact_compose(rng):
+    """Both knobs on together still reproduce the parity trace."""
+    params, sdf_cfg, _, _ = build(dual=False)
+    o, d = _rays(rng, n=40)
+    cfg_b = dataclasses.replace(sdf_cfg, march_compact=0.5,
+                                reeval_compact=0.6)
+    dp0, ss0, fm0 = _trace_outputs(params, sdf_cfg, o, d)
+    dp1, ss1, fm1 = _trace_outputs(params, cfg_b, o, d)
+    np.testing.assert_allclose(np.asarray(dp0), np.asarray(dp1),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ss0), np.asarray(ss1),
+                               rtol=0, atol=1e-6)
+    assert np.array_equal(np.asarray(fm0), np.asarray(fm1))
