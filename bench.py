@@ -533,6 +533,25 @@ def bench_scattersplit(sdf_cfg, params, quick):
                                   vals.reshape(-1))
     out["scatter_bf16_ms"] = timed(scat, jnp.zeros(L * T * F, jnp.bfloat16),
                                    vals.reshape(-1).astype(jnp.bfloat16))
+    # 2b. the sort+segment-sum alternative to the random scatter-add:
+    #    sort (idx, val) pairs, then scatter the sorted runs (XLA lowers
+    #    sorted-unique-ish scatters better when collisions are adjacent).
+    #    If sort_scatter beats scatter_f32, a sorted cotangent path is a
+    #    candidate optimization; if jnp.sort alone costs more than the
+    #    scatter, the wall is documented.
+    v1 = vals.reshape(-1)
+
+    def sort_scat(buf, v):
+        order = jnp.argsort(sidx)
+        si, sv = sidx[order], v[order]
+        return jnp.sum(buf.at[si].add(
+            sv, mode="promise_in_bounds")[:128].astype(jnp.float32))
+
+    out["sort_scatter_f32_ms"] = timed(
+        sort_scat, jnp.zeros(L * T * F, jnp.float32), v1)
+    out["argsort_only_ms"] = timed(lambda v: jnp.sum(jnp.argsort(v)
+                                                     .astype(jnp.float32)
+                                                     [:4]), sidx)
     # 3. the real op: encode fwd only vs fwd+bwd (param cotangent)
     from level_s2fm_tpu.fields import hashgrid
     x = jnp.asarray(rng.uniform(0, 1, size=(N, 3)).astype(np.float32))
