@@ -26,6 +26,7 @@ run() {
 run default
 run trace --trace
 run trace_dedup --trace --reeval-compact=0.5
+run trace_dedup_both --trace --reeval-compact=0.5 --march-compact=0.5
 run ba_bisect --ba-bisect
 run scattersplit --scattersplit
 echo "[chip] done $(date +%H:%M:%S)" >&2
