@@ -22,7 +22,7 @@ import numpy as np
 
 from ..geometry import transforms as T
 from ..utils.hostdev import on_host_cpu
-from . import entities
+from . import entities, optstate
 from .phases import BAPhase, PhaseCfgs, RefinePhase
 
 
@@ -195,6 +195,7 @@ class Bundler:
                      "se3_r": jnp.asarray(se3[:, :3]),
                      "se3_t": jnp.asarray(se3[:, 3:])}
         state = self.phase.init_state(ba_params, self.xyzs0)
+        state["opt"] = optstate.adopt(f"ba_{self.mode}", state["opt"])
         # occupancy refresh only matters when the phase RENDERS
         # (mode != "sfm"); pure-reprojection BA has no occ consumer, and
         # the refresh costs 4 grid rebuilds + extra scan dispatches
@@ -204,6 +205,7 @@ class Bundler:
                 self.max_iter)
         else:
             state, metrics = self.phase.run(state, self.batch, key)
+        optstate.record(f"ba_{self.mode}", state["opt"])
         p = state["params"]
         reproj = float(np.asarray(metrics["reproj_px"])[-1])
         if verbose:
@@ -263,12 +265,14 @@ class Refiner:
 
     def run(self, params, key, verbose=True):
         state = self.phase.init_state(params)
+        state["opt"] = optstate.adopt("refine", state["opt"])
         if self.cfgs.ren.compact_samples is not None:
             state, metrics = run_phase_occ_refresh(
                 self.opt, self.cfgs, self.phase, state, self.batch, key,
                 self.phase.max_iter)
         else:
             state, metrics = self.phase.run(state, self.batch, key)
+        optstate.record("refine", state["opt"])
         if verbose:
             last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()
                     if np.asarray(v).ndim == 1}

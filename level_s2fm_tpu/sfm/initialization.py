@@ -156,6 +156,8 @@ class Initializer:
         if self.opt.Ablate_config.get("tri_trad", False):
             return self.run_trad(params, key, verbose=verbose)
         state = self.phase.init_state(params)
+        from . import optstate
+        state["opt"] = optstate.adopt("init", state["opt"])
         if self.cfgs.ren.compact_samples is not None:
             from .bundle import run_phase_occ_refresh
             state, metrics = run_phase_occ_refresh(
@@ -163,6 +165,7 @@ class Initializer:
                 self.phase.max_iter, segments=8)
         else:
             state, metrics = self.phase.run(state, self.batch, key)
+        optstate.record("init", state["opt"])
         params = state["params"]
         if verbose:
             last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()

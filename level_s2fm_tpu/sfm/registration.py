@@ -412,7 +412,10 @@ class Registration:
             "intr": jnp.asarray(camera_new.intr),
         }
         state = phase.init_state(params)
+        from . import optstate
+        state["opt"] = optstate.adopt("geoinit", state["opt"])
         state, metrics = phase.run(state, batch, key)
+        optstate.record("geoinit", state["opt"])
         params = state["params"]
         if verbose:
             last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()

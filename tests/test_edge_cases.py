@@ -113,14 +113,23 @@ def test_checkpoint_v1_format_restores(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(restored), leaves):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # v2 roundtrip of the same tree through the path-based format
-    class _Set:
+    # v3 (npz) roundtrip of the same tree through the path-based format
+    class _Cams:
         def get_parameters(self):
-            return {"ok": True}
-    ck.save_checkpoint_sfm(str(tmp_path / "v2.ckpt"), params, _Set(), _Set(),
+            return {"pose_para": np.zeros((1, 6), np.float32),
+                    "cam_id": [7],
+                    "idx2d_to_3ds": [np.asarray([-1, 0, 2])]}
+
+    class _Pts:
+        def get_parameters(self):
+            return {"xyzs": np.zeros((2, 3), np.float32),
+                    "feat_tracks": [[(0, 1)], [(0, 2), (1, 0)]]}
+    ck.save_checkpoint_sfm(str(tmp_path / "v3.ckpt"), params, _Cams(), _Pts(),
                            it=9)
-    r2, ci, pi, it2 = ck.restore_checkpoint_sfm(str(tmp_path / "v2.ckpt"))
-    assert it2 == 9 and ci == {"ok": True} and pi == {"ok": True}
+    r2, ci, pi, it2 = ck.restore_checkpoint_sfm(str(tmp_path / "v3.ckpt"))
+    assert it2 == 9 and ci["cam_id"] == [7]
+    np.testing.assert_array_equal(ci["idx2d_to_3ds"][0], [-1, 0, 2])
+    assert pi["feat_tracks"] == [[(0, 1)], [(0, 2), (1, 0)]]
     assert isinstance(r2["rad"], list)  # sequence structure survives
     for a, b in zip(jax.tree_util.tree_leaves(r2), leaves):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
