@@ -59,3 +59,23 @@ def rays_per_chip(global_rays: int) -> int:
     """Scale knob: the reference's global batch (8192 rays) divided over
     chips (SURVEY.md §7.1 item 6)."""
     return max(global_rays // jax.device_count(), 1)
+
+
+def fetch_host(x) -> np.ndarray:
+    """Device→host pull that works on multi-process global arrays.
+
+    Single-process (every test/CLI run today): plain ``np.asarray`` —
+    zero behavior change. Multi-process: an array sharded over the global
+    mesh is not fully addressable, so ``np.asarray`` raises; all-gather
+    the shards first (`multihost_utils.process_allgather(tiled=True)`
+    concatenates along the sharded leading axis). The orchestrator's
+    write-back sites (BA point carry, triangulated point pulls) route
+    through this so the host SfM state stays identical on every process."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    import jax.numpy as jnp
+    xj = jnp.asarray(x)
+    if getattr(xj, "is_fully_addressable", True):
+        return np.asarray(xj)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(xj, tiled=True))

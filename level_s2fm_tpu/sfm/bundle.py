@@ -221,9 +221,12 @@ class Bundler:
         se3_new = np.array(jnp.concatenate([p["se3_r"], p["se3_t"]], axis=1))
         for j, cid in enumerate(self.cam_pick_ids):
             self.cameraset(cid).se3 = se3_new[j]
-        # write back surface-projected points (see module docstring)
+        # write back surface-projected points (see module docstring).
+        # fetch_host: the carried xyzs are sharded over the global mesh;
+        # on a multi-process run np.asarray would raise (non-addressable)
         if not self.opt.Ablate_config.get("replicate_update_xyzs_bug", False):
-            xyzs_new = np.asarray(state["xyzs"])[:len(self.pts_pick_ids)]
+            from ..parallel.distributed import fetch_host
+            xyzs_new = fetch_host(state["xyzs"])[:len(self.pts_pick_ids)]
             self.pointset.update_xyzs(self.pts_pick_ids, xyzs_new)
         new_params = {"sdf": p["sdf"], "rad": p["rad"]}
         return new_params, reproj

@@ -125,6 +125,88 @@ WORKER = textwrap.dedent("""
 """)
 
 
+PIPE_WORKER = textwrap.dedent("""
+    import json, os, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); n = int(sys.argv[2]); port = sys.argv[3]
+    out = sys.argv[4]
+    # same GLOBAL device count (8) in both arms: 2 procs x 4 devices vs
+    # 1 proc x 8 devices -> identical sharding layout and padding shapes
+    jax.config.update("jax_num_cpu_devices", 8 // n)
+    if n > 1:
+        jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                                   num_processes=n, process_id=pid)
+    import numpy as np
+    import train as train_mod
+
+    m = train_mod.main([
+        "--yaml=configs/synthetic.yaml", "--cpu", "--sfm_mode=fast",
+        "--max_views=3", "--Renderer.rand_rays=480",
+        "--optim.init.max_iter=20", "--optim.geoinit.max_iter=4",
+        "--optim.ba.max_iter=10",
+        "--parallel.data_devices=all",
+        f"--output_path={out}/p{pid}"])
+    r, t, ate = m.camera_set.eval_poses(verbose=False)
+    digest = {
+        "cam_ids": [int(c) for c in m.camera_set.cam_ids],
+        "n_points": len(m.point_set),
+        "rot": float(r), "t": float(t),
+        "se3": np.asarray(m.camera_set.all_se3(), np.float64).tolist(),
+        "xyz_mean": np.asarray(m.point_set.all_xyzs(), np.float64)
+                      .mean(0).tolist(),
+    }
+    print("PIPE_DIGEST " + json.dumps(digest), flush=True)
+""")
+
+
+@pytest.mark.skipif(os.environ.get("LS2FM_SKIP_MULTIHOST") == "1",
+                    reason="multihost smoke disabled")
+def test_two_process_pipeline_slice(tmp_path):
+    """Round-5 (VERDICT item 7): the REAL pipeline CLI (init + one
+    registration + BA, 3 views) across 2 jax.distributed processes,
+    asserting end-state equivalence with the single-process run at the
+    same global device count. Both processes must agree bitwise (SPMD:
+    identical host state, deterministic RANSAC), and the 2-process end
+    state must match single-process within the 1-vs-8 test's bounds."""
+    script = tmp_path / "pipe_worker.py"
+    script.write_text(PIPE_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)   # worker sets its own device count
+
+    def digest_of(out):
+        line = [l for l in out.splitlines() if l.startswith("PIPE_DIGEST")][-1]
+        import json
+        return json.loads(line[len("PIPE_DIGEST "):])
+
+    # 2-process arm
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), "2", "19745",
+         str(tmp_path / "mp")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+    d0, d1 = digest_of(outs[0]), digest_of(outs[1])
+    assert d0 == d1, "SPMD processes diverged"
+
+    # single-process arm (same 8 global devices)
+    p = subprocess.run(
+        [sys.executable, str(script), "0", "1", "19745", str(tmp_path / "sp")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        timeout=900)
+    assert p.returncode == 0, p.stdout[-3000:]
+    ds = digest_of(p.stdout)
+
+    assert d0["cam_ids"] == ds["cam_ids"] == [0, 1, 2]
+    assert abs(d0["rot"] - ds["rot"]) < 4.0
+    assert abs(d0["t"] - ds["t"]) < 5e-3
+    assert abs(d0["n_points"] - ds["n_points"]) <= max(8, 0.15 * ds["n_points"])
+    np.testing.assert_allclose(d0["se3"], ds["se3"], atol=1e-1)
+
+
 @pytest.mark.skipif(os.environ.get("LS2FM_SKIP_MULTIHOST") == "1",
                     reason="multihost smoke disabled")
 def test_two_process_sharded_grad(tmp_path):
