@@ -130,6 +130,10 @@ TRACE_ROWS = None
 #: at trace time, rows are ALSO accumulated under "<site>:<kind>" keys so
 #: the bench can attribute the roofline between march / re-eval / sampling
 #: / render-eval / BA-surface consumers.
+#: NB: module-global mutable stack, like TRACE_ROWS — tracing is assumed
+#: single-threaded (true for the bench and CLI). Concurrent traces in one
+#: process would interleave labels; impact is limited to misattributed
+#: bench rows (trace-time diagnostics only, never compiled execution).
 TRACE_SITE = []
 
 

@@ -487,7 +487,17 @@ def _reeval_track_compact(params, cfg: SDFConfig, m: SphereMarch,
     exactly as n_dups+1 separate evaluations would. When a batch has
     more unique points than the budget (pathological: nothing
     converges), lax.cond falls back to the full parity eval — never an
-    approximation. Default OFF (cfg.reeval_compact = 0)."""
+    approximation. Default OFF (cfg.reeval_compact = 0).
+
+    Exactness assumption (ADVICE r4): duplicate track rows only occur as
+    frozen TAILS — true by construction of the march (a converged ray's
+    accumulator stops moving and every later step repeats its final
+    point bitwise; step sizes >= sdf_threshold in acc units dwarf f32
+    ulp at scene scale, so a still-active ray cannot produce a bitwise-
+    equal row mid-track and then move again). A hypothetical mid-track
+    duplicate would get uniq=False with a later re-activation that
+    compact() would forward-fill from the wrong source. The n_uniq<=K
+    fallback does not guard this case; the march structure does."""
     E, BN = m.track.shape[0], m.track.shape[1]
     tr = m.track
     same = jnp.all(tr[1:] == tr[:-1], axis=-1)                 # [E-1,BN]

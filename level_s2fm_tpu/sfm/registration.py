@@ -80,7 +80,12 @@ def score_candidates(opt, cfgs: PhaseCfgs, params,
             else len(res.inliers)
         # mirror pnp's post-RANSAC gate (dry_run pnp returns ok=False
         # below 100 inliers when if_nbv=False); keeps the batched scorer
-        # bit-equal to per-candidate pnp calls (ADVICE r3 item 1)
+        # bit-equal to per-candidate pnp calls (ADVICE r3 item 1).
+        # NB (ADVICE r4): equivalence is pinned at the DEFAULT (zero)
+        # min_inliers/min_inlier_ratio floors — pnp's dry_run path also
+        # rejects below those, which this scorer does not mirror. The
+        # pipeline never passes the floors to dry_run calls; if that
+        # changes, thread them through here too.
         results.append((n_in >= 100, n_in / max(len(p3d_m), 1), n_in, n_views))
     return results
 

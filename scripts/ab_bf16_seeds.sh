@@ -4,7 +4,7 @@
 # fast budget is dominated by run-to-run trajectory variance, so a real
 # bf16 penalty smaller than that variance was invisible).
 #
-# Protocol: same as results/ab_bf16_vs_f32_onchip.md (synthprep scan1,
+# Protocol: same as results/ab_bf16_vs_f32.md (synthprep scan1,
 # fast budget, 3 views, ba 250 iters), but N seeds per arm. Runs
 # SEQUENTIALLY (one TPU process at a time). Each run is independent and
 # skipped when its metrics file already exists, so the sweep is
