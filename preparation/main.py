@@ -44,8 +44,53 @@ def find_images_dir(scene_dir: str) -> str:
 
 
 # --------------------------------------------------------------------- SIFT
+def guided_rematch(kp0, kp1, knn, F, band_px: float = 3.0,
+                   g_ratio: float = 0.9):
+    """Epipolar-guided second matching pass (COLMAP-style guided matching,
+    the density edge the reference gets from `exhaustive_matcher`'s
+    two-view-geometry verification, `/root/reference/preparation/main.py:
+    91-108`). Round-5, VERDICT r4 item 1: the plain ratio test starves
+    repeated-texture pairs — a true match is rejected whenever a similar
+    descriptor exists ANYWHERE in the other image. With a verified F, the
+    ambiguity collapses to the epipolar band: accept the best candidate
+    within ``band_px`` of the query's epipolar line if it beats the
+    second IN-BAND candidate by ``g_ratio`` (or is the only one there).
+
+    kp0/kp1: [K,2] keypoints; knn: cv2 knnMatch(desc0, desc1, k>=4)
+    output; F: fundamental matrix (maps image-0 points to image-1 lines).
+    Returns [M,2] (queryIdx, trainIdx), deduped one-to-one by trainIdx.
+    """
+    h0 = np.concatenate([kp0, np.ones((len(kp0), 1), np.float32)], 1)
+    lines = h0 @ F.T                                   # [K0,3] lines in im1
+    norm = np.sqrt(lines[:, 0] ** 2 + lines[:, 1] ** 2) + 1e-12
+    best = {}
+    for cands in knn:
+        if not cands:
+            continue
+        q = cands[0].queryIdx
+        l, nz = lines[q], norm[q]
+        in_band = []
+        for c in cands:
+            p = kp1[c.trainIdx]
+            d_epi = abs(l[0] * p[0] + l[1] * p[1] + l[2]) / nz
+            if d_epi <= band_px:
+                in_band.append(c)
+        if not in_band:
+            continue
+        c0 = in_band[0]                       # knn output is distance-sorted
+        if len(in_band) > 1 and not (c0.distance < g_ratio * in_band[1].distance):
+            continue
+        cur = best.get(c0.trainIdx)
+        if cur is None or c0.distance < cur[1]:
+            best[c0.trainIdx] = (c0.queryIdx, c0.distance)
+    if not best:
+        return np.zeros((0, 2), np.int64)
+    return np.asarray([[q, t] for t, (q, _) in sorted(best.items())], np.int64)
+
+
 def run_sift_backend(scene_dir: str, max_kypts: int = 8192, ratio: float = 0.8,
-                     contrast: float = 0.04):
+                     contrast: float = 0.04, guided: bool = True,
+                     guided_px: float = 3.0, guided_ratio: float = 0.9):
     # ``contrast``: cv2 SIFT contrastThreshold (default = cv2's own 0.04).
     # High-resolution renders spread texture gradients over more pixels,
     # starving the default detector (measured: 1200 kypts/img at
@@ -70,8 +115,9 @@ def run_sift_backend(scene_dir: str, max_kypts: int = 8192, ratio: float = 0.8,
     match_counts = np.zeros((n, n), np.int64)
     for i in range(n):
         for j in range(i + 1, n):
-            raw = bf.knnMatch(descs[i], descs[j], k=2)
-            good = [m for m, m2 in raw if m.distance < ratio * m2.distance]
+            knn = bf.knnMatch(descs[i], descs[j], k=6 if guided else 2)
+            good = [c[0] for c in knn
+                    if len(c) >= 2 and c[0].distance < ratio * c[1].distance]
             if len(good) < 8:
                 m = np.zeros((0, 2), np.int64)
                 mask = np.zeros(0, bool)
@@ -82,6 +128,23 @@ def run_sift_backend(scene_dir: str, max_kypts: int = 8192, ratio: float = 0.8,
                 F, fmask = cv2.findFundamentalMat(p0, p1, cv2.FM_RANSAC, 2.0, 0.999)
                 mask = (fmask[:, 0].astype(bool) if fmask is not None
                         else np.ones(len(m), bool))
+                n_first = int(mask.sum())
+                # guided pass: re-match inside the epipolar band of the
+                # verified F, union with the first pass, re-verify
+                if guided and F is not None and n_first >= 8:
+                    m_first, mask_first = m, mask
+                    m2 = guided_rematch(kypts[i], kypts[j], knn, F,
+                                        band_px=guided_px, g_ratio=guided_ratio)
+                    if len(m2):
+                        mu = np.unique(np.concatenate([m, m2], 0), axis=0)
+                        F2, fmask = cv2.findFundamentalMat(
+                            kypts[i][mu[:, 0]], kypts[j][mu[:, 1]],
+                            cv2.FM_RANSAC, 2.0, 0.999)
+                        if F2 is not None and fmask is not None and \
+                                int(fmask.sum()) >= n_first:
+                            m, mask = mu, fmask[:, 0].astype(bool)
+                        else:   # degraded re-verify: keep the first pass
+                            m, mask = m_first, mask_first
             pair_matches[(i, j)] = (m, mask)
             match_counts[i, j] = match_counts[j, i] = int(mask.sum())
             print(f"[match] {i}-{j}: {len(m)} matches, {int(mask.sum())} inliers")
@@ -249,6 +312,10 @@ def main():
     ap.add_argument("--backend", default="auto", choices=["auto", "colmap", "sift"])
     ap.add_argument("--max_kypts", type=int, default=8192)
     ap.add_argument("--sift_contrast", type=float, default=0.04)
+    ap.add_argument("--no_guided", action="store_true",
+                    help="disable the epipolar-guided re-matching pass")
+    ap.add_argument("--guided_px", type=float, default=3.0)
+    ap.add_argument("--guided_ratio", type=float, default=0.9)
     args = ap.parse_args()
 
     scene_dir = os.path.join(args.data, args.scene)
@@ -260,7 +327,9 @@ def main():
         kypts, pair_matches, pose_graph = run_colmap_backend(scene_dir)
     else:
         kypts, pair_matches, pose_graph = run_sift_backend(
-            scene_dir, args.max_kypts, contrast=args.sift_contrast)
+            scene_dir, args.max_kypts, contrast=args.sift_contrast,
+            guided=not args.no_guided, guided_px=args.guided_px,
+            guided_ratio=args.guided_ratio)
     write_artifacts(scene_dir, kypts, pair_matches, pose_graph)
 
 
