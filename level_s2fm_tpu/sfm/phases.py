@@ -594,6 +594,15 @@ class BAPhase:
         label_of = {"sdf": "sdf", "rad": "color", "se3_r": "pose_r", "se3_t": "pose_t"}
         if mode == "rad_init":
             label_of["se3_r"] = label_of["se3_t"] = "frozen"
+        if mode == "sfm":
+            # pure-reprojection BA has NO rendering loss, so the radiance
+            # grads are identically zero and Adam's update is exactly 0
+            # (m=v=0 under zero grads) — but the moment update still
+            # costs a full rad-hash-table read-modify-write per iter.
+            # Freezing rad is bit-identical to the reference's optimizer
+            # (which includes color params with those same zero grads,
+            # `BA.py:66-74`) and drops the dead HBM traffic.
+            label_of["rad"] = "frozen"
         self._mk_tx = lambda params: optim_mod.make_phase_optimizer(
             params, label_of,
             {"sdf": lr_sdf, "color": lr_color, "pose_r": lr_pose_r, "pose_t": lr_pose_t},

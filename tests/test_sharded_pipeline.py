@@ -186,3 +186,30 @@ def test_cli_pipeline_with_data_mesh(tmp_path):
     assert len(m.point_set) > 20
     r_deg, t_err, _ = m.camera_set.eval_poses(verbose=False)
     assert np.isfinite(r_deg) and np.isfinite(t_err)
+
+
+def test_sfm_ba_freezes_radiance_exactly(tmp_path):
+    """Round-5: mode="sfm" BA freezes the radiance params (zero grads ->
+    Adam update is exactly 0 anyway; freezing drops the dead hash-table
+    moment traffic). Pin the exactness claim: rad params come out
+    BIT-IDENTICAL, while sdf/poses actually move."""
+    opt = build_options([
+        "--yaml=configs/synthetic.yaml", "--optim.init.max_iter=20",
+        "--optim.ba.max_iter=10", "--sfm_mode=fast",
+        f"--output_root={tmp_path}"])
+    scene = synthetic.make_scene(n_views=2, H=64, W=64, n_points=256, seed=0)
+    m = LevelSfM(opt, seed=0)
+    m.load_data(synthetic.scene_to_var(scene))
+    m.initialize_two_views(0, 1, verbose=False)
+
+    se3_before = m.camera_set.all_se3().copy()
+    b = Bundler(opt, m.cfgs, m.camera_set, m.point_set,
+                cam_pick_ids=[0, 1], mode="sfm")
+    params, reproj = b.run(m.params, jax.random.PRNGKey(0), verbose=False)
+    for a, b_ in zip(jax.tree_util.tree_leaves(params["rad"]),
+                     jax.tree_util.tree_leaves(m.params["rad"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b_))
+               for a, b_ in zip(jax.tree_util.tree_leaves(params["sdf"]),
+                                jax.tree_util.tree_leaves(m.params["sdf"])))
+    assert not np.array_equal(m.camera_set.all_se3(), se3_before)
