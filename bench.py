@@ -176,7 +176,8 @@ def main():
         return
 
     if "--ba-bisect" in sys.argv:
-        bench_ba_bisect(sdf_cfg, params, QUICK)
+        bench_ba_bisect(sdf_cfg, params, QUICK,
+                        rad_cfg=rad_cfg, ren_cfg=ren_cfg)
         return
 
     if "--scattersplit" in sys.argv:
@@ -574,7 +575,7 @@ def bench_scattersplit(sdf_cfg, params, quick):
     }))
 
 
-def bench_ba_bisect(sdf_cfg, params, quick):
+def bench_ba_bisect(sdf_cfg, params, quick, rad_cfg=None, ren_cfg=None):
     """Bisect the BA-sfm step cost: time scanned fwd+bwd loops of each
     component in isolation (P track points, grads to the SDF params).
     Prints one JSON line with ms/iter per component — run on chip to find
@@ -643,6 +644,36 @@ def bench_ba_bisect(sdf_cfg, params, quick):
     jax.block_until_ready(opt_steps(p_sdf, opt0))
     out["adam_table_update_ms"] = (time.perf_counter() - t0) / iters * 1e3
 
+    # F/G/H (round 5): account the FULL real BAPhase step against its
+    # parts — losses fwd+bwd alone, one step with update, and the scanned
+    # step loop. Closes the r4 gap: components A-E summed to ~34 ms vs
+    # ~102 ms/iter measured on the real step; these rows say where the
+    # rest lives (losses-vs-update split, scan/carry overhead).
+    if rad_cfg is not None and ren_cfg is not None:
+        phase, state, batch, P_real, _C = _build_ba_setup(
+            sdf_cfg, rad_cfg, ren_cfg, params, quick)
+        key = jax.random.PRNGKey(0)
+
+        def losses_total(p):
+            loss, metrics, _x = phase._losses(p, state["xyzs"], batch, key)
+            return sum(jnp.sum(v) for v in loss.values())
+
+        out["real_losses_fwdbwd_ms"] = timed(losses_total, state["params"])
+
+        # full jitted step (losses + guarded_update + carry), scanned
+        @jax.jit
+        def steps(st):
+            def body(s, k):
+                s2, _m = phase._step_impl(s, batch, k)
+                return s2, None
+            s2, _ = jax.lax.scan(body, st, jax.random.split(key, iters))
+            return s2
+        jax.block_until_ready(steps(state)["params"])
+        t0 = time.perf_counter()
+        jax.block_until_ready(steps(state)["params"])
+        out["real_step_total_ms"] = (time.perf_counter() - t0) / iters * 1e3
+        out["real_update_overhead_ms"] = (out["real_step_total_ms"]
+                                          - out["real_losses_fwdbwd_ms"])
     print(json.dumps({
         "metric": "ba_bisect_ms_per_iter",
         "value": round(out["surface_project_ms"], 2),
@@ -718,11 +749,9 @@ def measure_trace(sdf_cfg, params, n_rays, quick):
     }))
 
 
-def measure_ba(opt, sdf_cfg, rad_cfg, ren_cfg, params, quick):
-    """Neural-BA step throughput (track observations/s), sfm mode.
-    Returns the result dict (printed by --ba, merged into the default
-    driver line otherwise)."""
-    import jax
+def _build_ba_setup(sdf_cfg, rad_cfg, ren_cfg, params, quick):
+    """(phase, state, batch) for the sfm-mode BA step benches — shared by
+    measure_ba (throughput) and bench_ba_bisect (component accounting)."""
     import jax.numpy as jnp
     from level_s2fm_tpu.geometry import transforms as T
     from level_s2fm_tpu.sfm.phases import BAPhase, PhaseCfgs
@@ -752,6 +781,17 @@ def measure_ba(opt, sdf_cfg, rad_cfg, ren_cfg, params, quick):
         "tracing": None,
     }
     state = phase.init_state(ba_params, jnp.asarray(xyzs))
+    return phase, state, batch, P, C
+
+
+def measure_ba(opt, sdf_cfg, rad_cfg, ren_cfg, params, quick):
+    """Neural-BA step throughput (track observations/s), sfm mode.
+    Returns the result dict (printed by --ba, merged into the default
+    driver line otherwise)."""
+    import jax
+
+    phase, state, batch, P, C = _build_ba_setup(sdf_cfg, rad_cfg, ren_cfg,
+                                                params, quick)
     iters = 3 if quick else 10
     state, _ = phase.run(state, batch, jax.random.PRNGKey(0), n_iters=iters)
     jax.block_until_ready(state["params"])
