@@ -408,9 +408,22 @@ class LevelSfM:
                 break
             eligible = [p for p in retryable if p not in deferred]
             if not eligible:
-                # nothing new registered since these failed; retry anyway
-                deferred.clear()
-                eligible = retryable
+                # every retryable view has already failed against the
+                # CURRENT scene state (deferred only clears on a new
+                # registration). PnP here is deterministic (seeded
+                # RANSAC, cpp/native/minigeom.cpp) and the fields/points
+                # only change when a view registers, so an immediate
+                # retry must fail identically — round-5 measured cost of
+                # retry-anyway: ~30 min of attempt-burn cycles at the
+                # synthref24 far-side frontier. Terminate cleanly with
+                # the skip list instead (same contract as attempt
+                # exhaustion; max_attempts now means "attempts, each
+                # against a NEW scene state").
+                print(f"finish! (skipped unregisterable views: "
+                      f"{sorted(left)} — no scene change since their "
+                      f"last failed attempt)")
+                self.metrics.log(self.it, skipped_views=sorted(left))
+                break
             new_id = self.select_next_view(eligible, verbose=verbose)
             print(f"-------------the best view next id is {new_id}--------------")
             if not self.register_view(new_id, verbose=verbose):
