@@ -345,6 +345,34 @@ class Registration:
             return params
 
         P_real = sum(s["n"] for s in segs)
+        # Ray budget (round 5, measured): past ~2048 pair rays the jitted
+        # GeoInitPhase (2 x P sphere traces + differentiable re-eval,
+        # fwd+bwd) compiles past the v5e's HBM — view 22 of synthref24
+        # (2600 pair rays -> 4096 bucket) requested 18.5G and crashed the
+        # remote compile. With a cap, segments are subsampled
+        # proportionally (deterministic in the scene state, so the
+        # futility-prune in pipeline.train stays exact); untriangulated
+        # matches are simply not lifted this view. Deviation: the
+        # reference traces every matched ray (`Registration.py:150-188`)
+        # — config 0 restores that. Default set in configs (2048 = the
+        # largest bucket proven safe on the chip).
+        cap = int(opt.optim.geoinit.get("max_rays", 0) or 0)
+        if cap and P_real > cap:
+            rng = np.random.default_rng(
+                1000003 * int(camera_new.id) + len(pointset))
+            frac = cap / P_real
+            for s in segs:
+                k = min(max(int(round(s["n"] * frac)), 1), s["n"])
+                sel = np.sort(rng.choice(s["n"], size=k, replace=False))
+                for kk in ("c0", "r0", "c1", "r1", "kp0", "kp1",
+                           "kidx_new", "kidx_src"):
+                    s[kk] = s[kk][sel]
+                s["n"] = k
+            if verbose:
+                print(f"[geoinit] ray budget: {P_real} pair rays "
+                      f"subsampled to {sum(s['n'] for s in segs)} "
+                      f"(max_rays={cap})")
+            P_real = sum(s["n"] for s in segs)
         P = entities.pad_to_bucket(P_real)
         # pad the segment count to a bucket so the jitted phase doesn't
         # recompile every time one more source view exists (empty segments

@@ -309,3 +309,22 @@ def test_no_futile_retries_when_scene_unchanged(tmp_path, monkeypatch):
     assert sorted(attempts) == sorted(doomed)
     skipped = [r for r in m.metrics.history if "skipped_views" in r]
     assert skipped and set(skipped[-1]["skipped_views"]) == doomed
+
+
+def test_geoinit_ray_budget_cap(tmp_path, capsys):
+    """Round-5: optim.geoinit.max_rays caps the pair-ray count (the
+    uncapped 4096-ray GeoInitPhase bucket compiles past the v5e's HBM).
+    With a tiny cap the registration must still triangulate and complete;
+    with cap 0 (reference parity) no subsampling happens."""
+    opt = build_options(BASE + ["--sfm_mode=fast", f"--output_root={tmp_path}",
+                                "--optim.geoinit.max_rays=16"])
+    scene = synthetic.make_scene(n_views=3, H=64, W=64, n_points=200, seed=0)
+    m = LevelSfM(opt, seed=0)
+    m.load_data(synthetic.scene_to_var(scene))
+    assert m.train(verbose=True, max_views=3)
+    out = capsys.readouterr().out
+    assert "[geoinit] ray budget:" in out
+    assert len(m.camera_set) == 3
+    assert len(m.point_set) > 0              # still triangulates a subset
+    # phase bucket stayed at the floor bucket despite many raw matches
+    assert "subsampled to 16" in out or "subsampled to 1" in out
