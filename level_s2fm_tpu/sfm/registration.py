@@ -360,9 +360,20 @@ class Registration:
         if cap and P_real > cap:
             rng = np.random.default_rng(
                 1000003 * int(camera_new.id) + len(pointset))
-            frac = cap / P_real
-            for s in segs:
-                k = min(max(int(round(s["n"] * frac)), 1), s["n"])
+            # strict proportional quotas that SUM to exactly <= cap (a
+            # per-segment round() overshot to 2050 > 2048 and landed the
+            # phase right back in the 4096 OOM bucket)
+            quotas = [min(max(int(s["n"] * cap // P_real), 1), s["n"])
+                      for s in segs]
+            over = sum(quotas) - cap
+            for qi in sorted(range(len(quotas)),
+                             key=lambda q: -quotas[q]):
+                if over <= 0:
+                    break
+                give = min(over, quotas[qi] - 1)
+                quotas[qi] -= give
+                over -= give
+            for s, k in zip(segs, quotas):
                 sel = np.sort(rng.choice(s["n"], size=k, replace=False))
                 for kk in ("c0", "r0", "c1", "r1", "kp0", "kp1",
                            "kidx_new", "kidx_src"):
